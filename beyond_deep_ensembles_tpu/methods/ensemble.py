@@ -1,0 +1,95 @@
+"""Deep Ensembles / MultiX and the universal posterior-predictive entry.
+
+Reference DeepEnsemble (src/algos/ensemble.py): a container of
+(model, optimizer) pairs trained in a Python loop and sampled
+sequentially. TPU-native redesign: members are a leading axis of ONE
+stacked state — training all members is ``vmap`` of the inner method's
+update (MultiX over BBB/SWAG/... comes for free by wrapping any
+PosteriorMethod), and prediction vmaps over posterior samples.
+
+Sample-to-member assignment: round-robin ``index % n_members``. The
+reference splits the budget into contiguous blocks per member
+(ensemble.py:38-43); both produce the same per-member sample counts
+whenever S % M == 0 (the benchmark configs), and the Bayesian model
+average is order-invariant.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .api import PosteriorMethod
+
+
+def deep_ensemble(inner: PosteriorMethod, n_members: int) -> PosteriorMethod:
+    def init(key, stacked_params, stacked_model_state=None):
+        keys = jax.random.split(key, n_members)
+        if stacked_model_state is None:
+            stacked_model_state = [None] * 0  # vmap needs a pytree; use {}
+            stacked_model_state = {}
+        return jax.vmap(inner.init)(keys, stacked_params, stacked_model_state)
+
+    def update(state, key, batch):
+        keys = jax.random.split(key, n_members)
+        new_state, metrics = jax.vmap(inner.update, in_axes=(0, 0, None))(
+            state, keys, batch
+        )
+        return new_state, {k: jnp.mean(v) for k, v in metrics.items()}
+
+    def sample(state, key, index=None):
+        if index is None:
+            index = 0
+        index = jnp.asarray(index)
+        member = index % n_members
+        member_state = jax.tree.map(lambda l: l[member], state)
+        return inner.sample(member_state, key, index // n_members)
+
+    def finalize_epoch(state):
+        return jax.vmap(inner.finalize_epoch)(state)
+
+    return PosteriorMethod(
+        init=init,
+        update=update,
+        sample=sample,
+        finalize_epoch=finalize_epoch,
+        multisample=inner.multisample,
+    )
+
+
+def predict(
+    method: PosteriorMethod,
+    state,
+    apply_fn: Callable,
+    x,
+    n_samples: int,
+    key: jax.Array,
+    chunk_size: Optional[int] = None,
+):
+    """Posterior-predictive sampling (reference DeepEnsemble.predict,
+    ensemble.py:28-44): draw parameters per sample, run the model, stack.
+
+    apply_fn(params, model_state, key, x) -> output for one draw.
+    Returns [n_samples, ...] stacked outputs.
+
+    chunk_size bounds how many parameter copies are alive at once for
+    methods that materialize sampled parameters (SWAG); ``None`` vmaps
+    all samples.
+    """
+    keys = jax.random.split(key, n_samples)
+    idx = jnp.arange(n_samples)
+
+    if method.sample_is_identity:
+        params, model_state = method.sample(state, keys[0], 0)
+        return jax.vmap(lambda k: apply_fn(params, model_state, k, x))(keys)
+
+    def one(args):
+        k, i = args
+        k_sample, k_apply = jax.random.split(k)
+        params, model_state = method.sample(state, k_sample, i)
+        return apply_fn(params, model_state, k_apply, x)
+
+    if chunk_size is None:
+        return jax.vmap(one)((keys, idx))
+    return jax.lax.map(one, (keys, idx), batch_size=chunk_size)

@@ -1,0 +1,166 @@
+"""iVON: Improved Variational Online Newton.
+
+Reference iVONOptimizer (src/algos/ivorn.py). The host-side MC loop
+(ivorn.py:45-63) becomes a ``lax.scan`` that samples the weight
+perturbation, evaluates the gradient at mean+delta, and accumulates both
+the gradients and the total perturbation; the natural-gradient mean /
+precision updates (ivorn.py:66-89) are leafwise pytree ops. The
+reference's GradScaler state hacks (ivorn.py:12,46-47,91) have no
+counterpart — bf16 compute with fp32 state needs no loss scaling.
+
+Update rule per parameter (t = step, b1/b2 = betas, N = dataset_size *
+augmentation, delta_reg = tempering * prior_prec / N):
+
+  g        = mean of MC gradients
+  g_mu     = delta_reg * mean + g
+  momentum = b1 * momentum + (1-b1) * g_mu
+  g_s      = delta_reg - prec + (N * prec * sum(delta)/mc) * g + damping
+  mean    -= lr * (momentum / (1-b1^t)) / (prec / (1-b2^t))
+  prec    += ((1-b2) + 0.5 (1-b2)^2 g_s / prec) * g_s
+"""
+from __future__ import annotations
+
+from typing import Callable, Union
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .. import tree
+from .api import LossFn, PosteriorMethod, default_finalize_epoch
+
+
+class IvonState(struct.PyTreeNode):
+    params: any  # current sampled params (last MC draw); mean is the estimate
+    model_state: any
+    opt_state: any  # unused; kept for chassis compatibility
+    step: jax.Array
+    epoch: jax.Array
+    mean: any
+    momentum: any
+    precision: any
+
+
+def ivon_method(
+    loss_fn: LossFn,
+    lr: Union[float, Callable],
+    prior_prec: float,
+    dataset_size: int,
+    betas=(0.9, 0.999),
+    damping: float = 0.0,
+    tempering: float = 1.0,
+    augmentation: float = 1.0,
+    mc_samples: int = 5,
+    deterministic: bool = False,
+) -> PosteriorMethod:
+    n_eff = dataset_size * augmentation
+    delta_reg = tempering * prior_prec / n_eff
+    lr_fn = lr if callable(lr) else (lambda step: lr)
+
+    def _draw(key, precision):
+        """delta = N(0, 1/(N*prec)) (reference ivorn.py:102-111)."""
+        if deterministic:
+            return tree.tree_zeros_like(precision)
+        eps = tree.normal_like(key, precision)
+        return jax.tree.map(
+            lambda p, e: e / jnp.sqrt(n_eff * jnp.maximum(p, 1e-4)), precision, eps
+        )
+
+    def init(key, params, model_state=None):
+        del key
+        return IvonState(
+            params=params,
+            model_state=model_state or {},
+            opt_state=None,
+            step=jnp.int32(0),
+            epoch=jnp.int32(0),
+            mean=params,
+            momentum=tree.tree_zeros_like(params),
+            precision=jax.tree.map(
+                lambda p: jnp.full_like(p, prior_prec / dataset_size), params
+            ),
+        )
+
+    def update(state: IvonState, key, batch):
+        mc_keys = jax.random.split(key, mc_samples)
+
+        def mc_body(carry, k):
+            model_state, acc_grad, acc_delta, acc_loss = carry
+            k_draw, k_loss = jax.random.split(k)
+            delta = _draw(k_draw, state.precision)
+            params = tree.tree_add(state.mean, delta)
+
+            def loss_of(p):
+                out = loss_fn(p, model_state, k_loss, batch)
+                return out.loss, out
+
+            (loss, out), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+            return (
+                out.model_state or model_state,
+                tree.tree_add(acc_grad, grads),
+                tree.tree_add(acc_delta, delta),
+                acc_loss + loss,
+            ), None
+
+        (model_state, acc_grad, acc_delta, acc_loss), _ = jax.lax.scan(
+            mc_body,
+            (
+                state.model_state,
+                tree.tree_zeros_like(state.mean),
+                tree.tree_zeros_like(state.mean),
+                jnp.float32(0.0),
+            ),
+            mc_keys,
+        )
+        avg_loss = acc_loss / mc_samples
+
+        t = state.step + 1
+        beta1, beta2 = betas
+        step_lr = lr_fn(state.step)
+
+        def leaf_update(mean, mom, prec, g_acc, d_acc):
+            g = g_acc / mc_samples
+            g_mu = delta_reg * mean + g
+            new_mom = beta1 * mom + (1 - beta1) * g_mu
+            g_s = delta_reg - prec + (n_eff * prec * d_acc / mc_samples) * g + damping
+            corr_mom = new_mom / (1 - beta1**t)
+            corr_prec = prec / (1 - beta2**t)
+            new_mean = mean - step_lr * corr_mom / corr_prec
+            new_prec = prec + ((1 - beta2) + 0.5 * (1 - beta2) ** 2 * g_s / prec) * g_s
+            return new_mean, new_mom, new_prec
+
+        new = jax.tree.map(
+            leaf_update, state.mean, state.momentum, state.precision, acc_grad, acc_delta
+        )
+        # Unzip the 3-tuples leafwise.
+        is_leaf = lambda x: isinstance(x, tuple) and len(x) == 3 and isinstance(x[0], jax.Array)
+        new_mean = jax.tree.map(lambda x: x[0], new, is_leaf=is_leaf)
+        new_mom = jax.tree.map(lambda x: x[1], new, is_leaf=is_leaf)
+        new_prec = jax.tree.map(lambda x: x[2], new, is_leaf=is_leaf)
+
+        # Skip update on non-finite gradients (reference ivorn.py:60-61).
+        ok = jnp.isfinite(avg_loss) & jnp.all(
+            jnp.asarray([jnp.all(jnp.isfinite(l)) for l in jax.tree.leaves(acc_grad)])
+        )
+        new_state = state.replace(
+            params=tree.tree_where(ok, new_mean, state.mean),
+            model_state=model_state,
+            step=state.step + jnp.where(ok, 1, 0),
+            mean=tree.tree_where(ok, new_mean, state.mean),
+            momentum=tree.tree_where(ok, new_mom, state.momentum),
+            precision=tree.tree_where(ok, new_prec, state.precision),
+        )
+        return new_state, {"loss": avg_loss}
+
+    def sample(state: IvonState, key, index=None):
+        del index
+        delta = _draw(key, state.precision)
+        return tree.tree_add(state.mean, delta), state.model_state
+
+    return PosteriorMethod(
+        init=init,
+        update=update,
+        sample=sample,
+        finalize_epoch=default_finalize_epoch,
+        sample_is_identity=deterministic,
+    )

@@ -1,0 +1,256 @@
+"""Post-hoc (last-layer) Laplace approximation with native GGN machinery.
+
+The reference delegates everything to the external laplace-torch package
+(reference src/algos/laplace_approx.py:3-48: fit GGN Hessian — full /
+kron / diag, last-layer by default — optimize the prior precision by
+marginal likelihood, predict via MC samples over last-layer weights).
+Here the GGN is computed directly: per-example Jacobians of the network
+output w.r.t. the last-layer parameters via ``jax.jacrev`` inside one
+jitted batch-accumulation step, so the whole fit is device-resident.
+
+GGN per batch: H += sum_b J_b^T Lambda_b J_b with Lambda = I/sigma^2
+(regression) or diag(p) - p p^T at the MAP logits (classification).
+Posterior precision P = H + prior_prec * I over the last-layer vector.
+Marginal likelihood for the prior-precision sweep (laplace-torch's
+marglik criterion): log lik(MAP) - 0.5 * (theta^T P0 theta
++ logdet P - logdet P0).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..tree import make_unravel, ravel
+from .api import MethodState, PosteriorMethod
+
+
+class LaplaceState(struct.PyTreeNode):
+    params: any
+    model_state: any
+    ll_mean: jax.Array  # [D] last-layer MAP vector
+    scale_tril: jax.Array  # [D, D] Cholesky of the posterior covariance
+    diag_scale: jax.Array  # [D] for hessian='diag'
+    prior_prec: jax.Array
+    # chassis fields so generic code can treat it like MethodState
+    opt_state: any = None
+    step: jax.Array = struct.field(default_factory=lambda: jnp.int32(0))
+    epoch: jax.Array = struct.field(default_factory=lambda: jnp.int32(0))
+
+
+def last_layer_mask(params) -> dict:
+    """Heuristic last-layer selector: the highest-indexed Dense/BBBDense
+    scope in the tree (the classification/regression head in all our
+    architectures). Returns a {path: bool} mask pytree."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def scope_names(path):
+        return [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+
+    candidates = []
+    for path, _ in flat:
+        for name in scope_names(path):
+            if name.startswith(("Dense_", "BBBDense_", "Rank1Dense_")):
+                candidates.append(name)
+    if not candidates:
+        raise ValueError("no Dense scope found for last-layer Laplace")
+    target = sorted(set(candidates), key=lambda s: (s.rsplit("_", 1)[0], int(s.rsplit("_", 1)[1])))[-1]
+
+    def mask_leaf(path, leaf):
+        del leaf
+        return target in scope_names(path)
+
+    return jax.tree_util.tree_map_with_path(mask_leaf, params)
+
+
+def _split_by_mask(params, mask):
+    ll = jax.tree.map(lambda p, m: p if m else None, params, mask)
+    ll_leaves = [p for p, m in zip(jax.tree.leaves(params), jax.tree.leaves(mask)) if m]
+    return ll, ll_leaves
+
+
+@dataclasses.dataclass(frozen=True)
+class LaplacePosterior(PosteriorMethod):
+    """PosteriorMethod plus a post-hoc ``fit``. ``update`` delegates to the
+    wrapped (MAP) method when given; the reference trains MAP first and
+    fits Laplace from checkpoints (SURVEY.md §2.5 fit_laplace phase)."""
+
+    fit: Callable = None
+    optimize_prior_prec: Callable = None
+    multisample: bool = True
+
+
+def laplace_method(
+    model,
+    hessian: str = "full",
+    regression: bool = True,
+    sigma_noise: float = 1.0,
+    inner: Optional[PosteriorMethod] = None,
+    prior_prec: float = 1.0,
+    batch_size: int = 256,
+    mean_output: Optional[Callable] = None,
+) -> LaplacePosterior:
+    """model: nn.base.Model. mean_output(params, model_state, x) -> [B, O]
+    network output the GGN linearizes (defaults to the model forward,
+    taking channel 0 of GaussLayer pairs for regression)."""
+    if hessian not in ("full", "diag"):
+        raise NotImplementedError(f"hessian={hessian!r} (kron lands with the KFAC pass)")
+
+    def default_mean_output(params, model_state, x):
+        out, _, _ = model.apply(params, model_state, None, x, train=False, mutable_state=False)
+        if regression and out.ndim >= 2 and out.shape[-1] == 2:
+            out = out[..., 0]
+        return out.reshape(x.shape[0], -1)
+
+    out_fn = mean_output or default_mean_output
+
+    def _ggn_batch(params, model_state, mask, unravel_ll, x, y):
+        """One jitted GGN accumulation step. Returns (H or diag, loglik)."""
+        ll_vec = ravel(jax.tree.map(lambda p, m: p if m else jnp.zeros((0,)), params, mask))
+
+        flat_mask = jax.tree.leaves(mask)
+        flat_params = jax.tree.leaves(params)
+        treedef = jax.tree.structure(params)
+
+        def with_ll(vec):
+            ll_tree = unravel_ll(vec)
+            ll_iter = iter(jax.tree.leaves(ll_tree))
+            leaves = [
+                next(ll_iter) if m else p for p, m in zip(flat_params, flat_mask)
+            ]
+            return jax.tree.unflatten(treedef, leaves)
+
+        def f(vec):
+            return out_fn(with_ll(vec), model_state, x)  # [B, O]
+
+        logits = f(ll_vec)
+        jac = jax.jacrev(f)(ll_vec)  # [B, O, D]
+        d = ll_vec.shape[0]
+
+        if regression:
+            lam_scale = 1.0 / sigma_noise**2
+            if hessian == "full":
+                h = lam_scale * jnp.einsum("boi,boj->ij", jac, jac)
+            else:
+                h = lam_scale * jnp.sum(jac**2, axis=(0, 1))
+            resid = logits - y.reshape(logits.shape)
+            loglik = jnp.sum(
+                -0.5 * (resid / sigma_noise) ** 2
+                - math.log(sigma_noise)
+                - 0.5 * math.log(2 * math.pi)
+            )
+        else:
+            p = jax.nn.softmax(logits, axis=-1)
+            if hessian == "full":
+                h = jnp.einsum("bo,boi,boj->ij", p, jac, jac) - jnp.einsum(
+                    "bo,boi,bq,bqj->ij", p, jac, p, jac
+                )
+            else:
+                jp = jnp.einsum("bo,boi->bi", p, jac)
+                h = jnp.einsum("bo,boi->i", p, jac**2) - jnp.sum(jp**2, axis=0)
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            loglik = jnp.sum(jnp.take_along_axis(lp, y.reshape(-1, 1), axis=1))
+        return h, loglik, ll_vec, d
+
+    def fit(state: MethodState, data, key=None):
+        """data: (x, y) arrays or an iterable of (x, y) batches."""
+        params, model_state = state.params, state.model_state
+        mask = last_layer_mask(params)
+        _, ll_leaves = _split_by_mask(params, mask)
+        ll_template = [jnp.zeros_like(l) for l in ll_leaves]
+        unravel_ll = make_unravel(ll_template)
+
+        if isinstance(data, tuple):
+            x, y = data
+            batches = [
+                (x[i : i + batch_size], y[i : i + batch_size])
+                for i in range(0, x.shape[0], batch_size)
+            ]
+        else:
+            batches = list(data)
+
+        ggn_step = jax.jit(
+            lambda x, y: _ggn_batch(params, model_state, mask, unravel_ll, x, y)[:2]
+        )
+        h_total, loglik = None, 0.0
+        for xb, yb in batches:
+            h, ll = ggn_step(jnp.asarray(xb), jnp.asarray(yb))
+            h_total = h if h_total is None else h_total + h
+            loglik += float(ll)
+
+        ll_vec = ravel(ll_leaves)
+        d = ll_vec.shape[0]
+
+        def posterior(pp):
+            if hessian == "full":
+                prec = h_total + pp * jnp.eye(d)
+                chol_prec = jnp.linalg.cholesky(prec)
+                logdet = 2 * jnp.sum(jnp.log(jnp.diagonal(chol_prec)))
+                # scale_tril of the covariance: inv(chol(prec))^T
+                scale = jax.scipy.linalg.solve_triangular(
+                    chol_prec, jnp.eye(d), lower=True
+                ).T
+                return prec, scale, logdet
+            prec = h_total + pp
+            return prec, 1.0 / jnp.sqrt(prec), jnp.sum(jnp.log(prec))
+
+        def marglik(pp):
+            _, _, logdet = posterior(pp)
+            scatter = pp * jnp.sum(ll_vec**2)
+            logdet_prior = d * jnp.log(pp)
+            return loglik - 0.5 * (scatter + logdet - logdet_prior)
+
+        # Prior-precision sweep (replaces laplace-torch marglik Adam loop,
+        # reference laplace_approx.py:35-36).
+        candidates = jnp.logspace(-4, 4, 33)
+        margliks = jax.jit(jax.vmap(marglik))(candidates)
+        best_pp = float(candidates[int(jnp.argmax(margliks))])
+
+        _, scale, _ = posterior(best_pp)
+        return LaplaceState(
+            params=params,
+            model_state=model_state,
+            ll_mean=ll_vec,
+            scale_tril=scale if hessian == "full" else jnp.zeros((0, 0)),
+            diag_scale=scale if hessian == "diag" else jnp.zeros((0,)),
+            prior_prec=jnp.float32(best_pp),
+        )
+
+    def sample(state: LaplaceState, key, index=None):
+        del index
+        d = state.ll_mean.shape[0]
+        z = jax.random.normal(key, (d,))
+        if hessian == "full":
+            vec = state.ll_mean + state.scale_tril @ z
+        else:
+            vec = state.ll_mean + state.diag_scale * z
+        mask = last_layer_mask(state.params)
+        _, ll_leaves = _split_by_mask(state.params, mask)
+        unravel_ll = make_unravel([jnp.zeros_like(l) for l in ll_leaves])
+        ll_new = iter(jax.tree.leaves(unravel_ll(vec)))
+        flat_mask = jax.tree.leaves(mask)
+        flat_params = jax.tree.leaves(state.params)
+        leaves = [next(ll_new) if m else p for p, m in zip(flat_params, flat_mask)]
+        params = jax.tree.unflatten(jax.tree.structure(state.params), leaves)
+        return params, state.model_state
+
+    def init(key, params, model_state=None):
+        if inner is not None:
+            return inner.init(key, params, model_state)
+        raise RuntimeError("laplace is post-hoc: train MAP first, then .fit()")
+
+    def update(state, key, batch):
+        if inner is not None:
+            return inner.update(state, key, batch)
+        raise RuntimeError("laplace is post-hoc: train MAP first, then .fit()")
+
+    return LaplacePosterior(
+        init=init,
+        update=update,
+        sample=sample,
+        fit=fit,
+    )

@@ -1,0 +1,118 @@
+"""SWAG: Stochastic Weight Averaging - Gaussian.
+
+Reference SwagOptimizer (src/algos/swag.py). TPU-native redesign: the
+first/second-moment vectors and the deviation ring buffer live ON DEVICE
+as method state (the reference round-trips the flattened model through CPU
+every update, swag.py:100-104), and posterior sampling composes
+``mean + dev^T z1 / sqrt(2(K-1)) + sqrt(diag) z2`` directly — never
+materializing a covariance or running the reference's
+``LowRankMultivariateNormal`` Cholesky machinery (swag.py:107-114).
+The save/restore dirty-params dance (swag.py:76-89) disappears: sampling
+is a pure function that leaves training state untouched.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..tree import make_unravel, ravel
+from .api import LossFn, PosteriorMethod
+
+
+class SwagState(struct.PyTreeNode):
+    params: any
+    model_state: any
+    opt_state: any
+    step: jax.Array
+    epoch: jax.Array
+    mean: jax.Array  # [D] running first moment
+    sq_mean: jax.Array  # [D] running second moment
+    deviations: jax.Array  # [K, D] ring buffer of deviation rows
+    updates: jax.Array  # int32: number of moment updates so far
+    steps_since_start: jax.Array  # int32
+
+
+def swag_method(
+    loss_fn: LossFn,
+    tx: optax.GradientTransformation,
+    update_interval: int,
+    start_epoch: int = 0,
+    deviation_samples: int = 30,
+) -> PosteriorMethod:
+    update_interval = int(math.floor(update_interval))
+
+    def init(key, params, model_state=None):
+        del key
+        flat = ravel(params)
+        return SwagState(
+            params=params,
+            model_state=model_state or {},
+            opt_state=tx.init(params),
+            step=jnp.int32(0),
+            epoch=jnp.int32(0),
+            mean=flat,
+            sq_mean=flat**2,
+            deviations=jnp.zeros((deviation_samples, flat.shape[0]), jnp.float32),
+            updates=jnp.int32(0),
+            steps_since_start=jnp.int32(0),
+        )
+
+    def update(state: SwagState, key, batch):
+        def total_loss(params):
+            out = loss_fn(params, state.model_state, key, batch)
+            return out.loss, out
+
+        (loss, out), grads = jax.value_and_grad(total_loss, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        # SWAG bookkeeping (reference swag.py:91-105), branch-free.
+        started = state.epoch >= start_epoch
+        steps_since = state.steps_since_start + jnp.where(started, 1, 0)
+        do_update = started & (steps_since % update_interval == 0)
+
+        flat = ravel(params)
+        n = state.updates
+        new_mean = (n * state.mean + flat) / (n + 1)
+        new_sq = (n * state.sq_mean + flat**2) / (n + 1)
+        new_dev = jnp.roll(state.deviations, -1, axis=0).at[-1].set(flat - new_mean)
+
+        new_state = state.replace(
+            params=params,
+            model_state=out.model_state or state.model_state,
+            opt_state=opt_state,
+            step=state.step + 1,
+            steps_since_start=steps_since,
+            mean=jnp.where(do_update, new_mean, state.mean),
+            sq_mean=jnp.where(do_update, new_sq, state.sq_mean),
+            deviations=jnp.where(do_update, new_dev, state.deviations),
+            updates=state.updates + jnp.where(do_update, 1, 0),
+        )
+        return new_state, {"loss": loss, **out.metrics}
+
+    def sample(state: SwagState, key, index=None):
+        """Low-rank + diagonal Gaussian draw (reference swag.py:107-114):
+        diag = 0.5*(relu(sq - mean^2) + 1e-6), factor = dev / sqrt(2(K-1))."""
+        del index
+        k1, k2 = jax.random.split(key)
+        diag = 0.5 * (jax.nn.relu(state.sq_mean - state.mean**2) + 1e-6)
+        z1 = jax.random.normal(k1, (deviation_samples,))
+        z2 = jax.random.normal(k2, state.mean.shape)
+        flat = (
+            state.mean
+            + (z1 @ state.deviations) / math.sqrt(2 * (deviation_samples - 1))
+            + jnp.sqrt(diag) * z2
+        )
+        params = make_unravel(state.params)(flat)
+        return params, state.model_state
+
+    def finalize_epoch(state: SwagState):
+        return state.replace(epoch=state.epoch + 1)
+
+    return PosteriorMethod(
+        init=init, update=update, sample=sample, finalize_epoch=finalize_epoch
+    )

@@ -1,0 +1,6 @@
+"""Model zoo: from-scratch backbones parameterized by layer-type factories
+so every dense/conv can be plain, BBB-variational, or Rank-1
+(reference src/architectures/)."""
+from .layers import DenseFactory, ConvFactory, make_dense, make_conv  # noqa: F401
+from .mlp import RegressionMLP  # noqa: F401
+from .resnet import ResNet18, ResNet20, ResNet50, PreResNet20  # noqa: F401

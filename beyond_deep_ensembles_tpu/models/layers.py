@@ -1,0 +1,70 @@
+"""Layer-type factories: plain / BBB / Rank-1 dense and conv layers.
+
+The reference threads ``variational`` / ``rank1`` flags plus prior and
+component arguments through every architecture constructor
+(reference src/architectures/resnet.py:30-52, densenet.py:98-125); here a
+factory string selects the layer class and architectures stay agnostic.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+import flax.linen as nn
+
+from ..nn.bbb import BBBConv, BBBDense
+from ..nn.rank1 import Rank1Conv, Rank1Dense
+
+DenseFactory = str  # 'plain' | 'bbb' | 'rank1'
+ConvFactory = str
+
+
+def make_dense(
+    kind: str, features: int, use_bias: bool = True, components: int = 1, **kwargs
+) -> nn.Module:
+    if kind == "plain":
+        return nn.Dense(features, use_bias=use_bias)
+    if kind == "bbb":
+        return BBBDense(features, use_bias=use_bias, **kwargs)
+    if kind == "rank1":
+        return Rank1Dense(features, use_bias=use_bias, components=components, **kwargs)
+    raise ValueError(f"unknown dense kind {kind!r}")
+
+
+def make_conv(
+    kind: str,
+    features: int,
+    kernel_size: Sequence[int],
+    strides: Union[int, Sequence[int]] = 1,
+    padding: Union[str, int] = 0,
+    use_bias: bool = True,
+    components: int = 1,
+    **kwargs,
+) -> nn.Module:
+    if kind == "plain":
+        pad = [(padding, padding)] * 2 if isinstance(padding, int) else padding
+        s = (strides, strides) if isinstance(strides, int) else tuple(strides)
+        return nn.Conv(features, kernel_size, strides=s, padding=pad, use_bias=use_bias)
+    if kind == "bbb":
+        return BBBConv(
+            features, kernel_size, strides=strides, padding=padding, use_bias=use_bias, **kwargs
+        )
+    if kind == "rank1":
+        return Rank1Conv(
+            features,
+            kernel_size,
+            strides=strides,
+            padding=padding,
+            use_bias=use_bias,
+            components=components,
+            **kwargs,
+        )
+    raise ValueError(f"unknown conv kind {kind!r}")
+
+
+def call_layer(layer: nn.Module, x, train: bool, component=None):
+    """Invoke a factory-made layer with the right signature."""
+    if isinstance(layer, (Rank1Dense, Rank1Conv)):
+        return layer(x, train=train, component=component)
+    if isinstance(layer, (BBBDense, BBBConv)):
+        return layer(x, train=train)
+    return layer(x)

@@ -1,0 +1,376 @@
+"""CIFAR-style ResNets with swappable layer types (plain / BBB / Rank-1),
+norms (batch-static / FRN / variational-FRN) and activations (relu/swish).
+
+Reference src/architectures/resnet.py (adapted there from
+akamaster/pytorch_resnet_cifar10). NHWC layout throughout.
+
+Notes vs the reference:
+  * "batch_static" norm means BatchNorm WITHOUT running statistics —
+    batch stats are used even at eval (reference resnet.py:21,
+    ``track_running_stats=False``), reproduced here by always normalizing
+    with the current batch; no mutable state needed.
+  * ResNet20-FRN-swish matches the Wilson-HMC architecture
+    (SURVEY.md §2.2).
+  * The reference's from-scratch ``Bottleneck``/``ResNet50``
+    (resnet.py:86-213) are structurally broken (stride-1 blocks add
+    tensors of different channel counts; 1x1 convs carry padding=1) and
+    are never exercised by the experiments (iWildCam/RxRx1 use pretrained
+    torchvision ResNet-50s). We implement a *correct* bottleneck ResNet-50
+    instead: skip projections whenever shape changes, standard paddings.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..nn.dropout import FixableDropout
+from ..nn.frn import FilterResponseNorm, VariationalFilterResponseNorm
+from .layers import call_layer, make_conv, make_dense
+
+
+def _activation(name: str):
+    if name == "relu":
+        return nn.relu
+    if name == "swish":
+        return nn.swish
+    raise ValueError(f"unknown activation {name!r}")
+
+
+class _Norm(nn.Module):
+    """norm in {'batch_static', 'frn', 'frn_variational'}
+    (reference get_norm_layer, resnet.py:19-28)."""
+
+    kind: str
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if self.kind == "batch_static":
+            # track_running_stats=False: batch statistics at eval too.
+            return nn.BatchNorm(use_running_average=False)(x)
+        if self.kind == "frn":
+            return FilterResponseNorm()(x, train=train)
+        if self.kind == "frn_variational":
+            return VariationalFilterResponseNorm()(x, train=train)
+        raise ValueError(f"unknown norm {self.kind!r}")
+
+
+def _norm_kind(norm: str, conv_kind: str) -> str:
+    # Variational FRN only for the BBB variant (reference resnet.py:23-26:
+    # rank1 falls back to plain FRN).
+    if norm == "frn" and conv_kind == "bbb":
+        return "frn_variational"
+    return norm
+
+
+class BasicBlock(nn.Module):
+    """Reference BasicBlock (resnet.py:56-84)."""
+
+    features: int
+    stride: int = 1
+    activation: str = "relu"
+    norm: str = "batch_static"
+    dropout_p: Optional[float] = None
+    conv_kind: str = "plain"
+    components: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, component=None):
+        act = _activation(self.activation)
+        nk = _norm_kind(self.norm, self.conv_kind)
+
+        def drop(h):
+            if self.dropout_p is not None:
+                return FixableDropout(self.dropout_p)(h, train=train)
+            return h
+
+        def conv(h, features, kernel, stride, padding, use_bias=True):
+            layer = make_conv(
+                self.conv_kind,
+                features,
+                (kernel, kernel),
+                strides=stride,
+                padding=padding,
+                use_bias=use_bias,
+                components=self.components,
+            )
+            return call_layer(layer, h, train, component)
+
+        h = conv(x, self.features, 3, self.stride, 1)
+        h = drop(h)
+        h = _Norm(nk)(h, train=train)
+        h = act(h)
+        h = conv(h, self.features, 3, 1, 1)
+        h = drop(h)
+        h = _Norm(nk)(h, train=train)
+
+        if self.stride != 1:
+            skip = conv(x, self.features, 1, self.stride, 0, use_bias=False)
+            skip = drop(skip)
+        else:
+            skip = x
+        return act(h + skip)
+
+
+class PreBasicBlock(nn.Module):
+    """Reference PreBasicBlock (resnet.py:217-242): norm-act-conv order."""
+
+    features: int
+    stride: int = 1
+    activation: str = "relu"
+    norm: str = "batch_static"
+    dropout_p: Optional[float] = None
+    conv_kind: str = "plain"
+    components: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, component=None):
+        act = _activation(self.activation)
+        nk = _norm_kind(self.norm, self.conv_kind)
+
+        def drop(h):
+            if self.dropout_p is not None:
+                return FixableDropout(self.dropout_p)(h, train=train)
+            return h
+
+        def conv(h, features, kernel, stride, padding, use_bias=True):
+            layer = make_conv(
+                self.conv_kind,
+                features,
+                (kernel, kernel),
+                strides=stride,
+                padding=padding,
+                use_bias=use_bias,
+                components=self.components,
+            )
+            return call_layer(layer, h, train, component)
+
+        h = _Norm(nk)(x, train=train)
+        h = act(h)
+        h = drop(h)
+        h = conv(h, self.features, 3, self.stride, 1)
+        h = _Norm(nk)(h, train=train)
+        h = act(h)
+        h = drop(h)
+        h = conv(h, self.features, 3, 1, 1)
+
+        if self.stride != 1:
+            skip = drop(x)
+            skip = conv(skip, self.features, 1, self.stride, 0, use_bias=False)
+        else:
+            skip = x
+        return h + skip
+
+
+class Bottleneck(nn.Module):
+    """Standard bottleneck (1x1 reduce, 3x3, 1x1 expand); projection skip
+    whenever shape changes. The reference's version is broken — see module
+    docstring."""
+
+    features: int  # output channels (= 4 * bottleneck width)
+    stride: int = 1
+    activation: str = "relu"
+    norm: str = "batch_static"
+    dropout_p: Optional[float] = None
+    conv_kind: str = "plain"
+    components: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, component=None):
+        act = _activation(self.activation)
+        nk = _norm_kind(self.norm, self.conv_kind)
+        width = self.features // 4
+
+        def drop(h):
+            if self.dropout_p is not None:
+                return FixableDropout(self.dropout_p)(h, train=train)
+            return h
+
+        def conv(h, features, kernel, stride, padding, use_bias=True):
+            layer = make_conv(
+                self.conv_kind,
+                features,
+                (kernel, kernel),
+                strides=stride,
+                padding=padding,
+                use_bias=use_bias,
+                components=self.components,
+            )
+            return call_layer(layer, h, train, component)
+
+        h = conv(x, width, 1, 1, 0)
+        h = drop(h)
+        h = _Norm(nk)(h, train=train)
+        h = act(h)
+        h = conv(h, width, 3, self.stride, 1)
+        h = drop(h)
+        h = _Norm(nk)(h, train=train)
+        h = act(h)
+        h = conv(h, self.features, 1, 1, 0)
+        h = drop(h)
+        h = _Norm(nk)(h, train=train)
+
+        if self.stride != 1 or x.shape[-1] != self.features:
+            skip = conv(x, self.features, 1, self.stride, 0, use_bias=False)
+            skip = drop(skip)
+        else:
+            skip = x
+        return act(h + skip)
+
+
+class ResNet20(nn.Module):
+    """Reference ResNet20 (resnet.py:122-148); with norm='frn',
+    activation='swish' this is the Wilson-HMC CIFAR architecture."""
+
+    classes: int
+    activation: str = "relu"
+    norm: str = "batch_static"
+    dropout_p: Optional[float] = None
+    conv_kind: str = "plain"
+    components: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, component=None):
+        stem = make_conv(
+            self.conv_kind, 16, (3, 3), strides=1, padding=1, components=self.components
+        )
+        h = call_layer(stem, x, train, component)
+        if self.dropout_p is not None:
+            h = FixableDropout(self.dropout_p)(h, train=train)
+
+        widths = [(16, 1), (16, 1), (16, 1), (32, 2), (32, 1), (32, 1), (64, 2), (64, 1), (64, 1)]
+        for features, stride in widths:
+            h = BasicBlock(
+                features,
+                stride,
+                self.activation,
+                self.norm,
+                self.dropout_p,
+                self.conv_kind,
+                self.components,
+            )(h, train=train, component=component)
+
+        in_size = x.shape[1]
+        if in_size >= 32:
+            h = nn.avg_pool(h, (8, 8), strides=(8, 8))
+        h = h.reshape(h.shape[0], -1)
+        head = make_dense(self.conv_kind, self.classes, components=self.components)
+        return call_layer(head, h, train, component)
+
+
+class PreResNet20(nn.Module):
+    """Reference PreResNet20 (resnet.py:244-272)."""
+
+    classes: int
+    activation: str = "relu"
+    norm: str = "batch_static"
+    dropout_p: Optional[float] = None
+    conv_kind: str = "plain"
+    components: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, component=None):
+        stem = make_conv(
+            self.conv_kind, 16, (3, 3), strides=1, padding=1, components=self.components
+        )
+        h = call_layer(stem, x, train, component)
+
+        widths = [(16, 1), (16, 1), (16, 1), (32, 2), (32, 1), (32, 1), (64, 2), (64, 1), (64, 1)]
+        for features, stride in widths:
+            h = PreBasicBlock(
+                features,
+                stride,
+                self.activation,
+                self.norm,
+                self.dropout_p,
+                self.conv_kind,
+                self.components,
+            )(h, train=train, component=component)
+
+        h = _Norm(_norm_kind(self.norm, self.conv_kind))(h, train=train)
+        h = _activation(self.activation)(h)
+        if x.shape[1] >= 32:
+            h = nn.avg_pool(h, (8, 8), strides=(8, 8))
+        h = h.reshape(h.shape[0], -1)
+        head = make_dense(self.conv_kind, self.classes, components=self.components)
+        return call_layer(head, h, train, component)
+
+
+class ResNet18(nn.Module):
+    """Reference ResNet18 (resnet.py:150-176): 3x3 stem, maxpool 3/2,
+    global average pool head. PovertyMap uses this with 8 input channels
+    and one regression output."""
+
+    classes: int
+    activation: str = "relu"
+    norm: str = "batch_static"
+    dropout_p: Optional[float] = None
+    conv_kind: str = "plain"
+    components: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, component=None):
+        stem = make_conv(
+            self.conv_kind, 64, (3, 3), strides=1, padding=1, components=self.components
+        )
+        h = call_layer(stem, x, train, component)
+        if self.dropout_p is not None:
+            h = FixableDropout(self.dropout_p)(h, train=train)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2))
+
+        widths = [(64, 1), (64, 1), (128, 2), (128, 1), (256, 2), (256, 1), (512, 2), (512, 1)]
+        for features, stride in widths:
+            h = BasicBlock(
+                features,
+                stride,
+                self.activation,
+                self.norm,
+                self.dropout_p,
+                self.conv_kind,
+                self.components,
+            )(h, train=train, component=component)
+
+        h = jnp.mean(h, axis=(1, 2))
+        head = make_dense(self.conv_kind, self.classes, components=self.components)
+        return call_layer(head, h, train, component)
+
+
+class ResNet50(nn.Module):
+    """Corrected bottleneck ResNet-50 (see module docstring)."""
+
+    classes: int
+    activation: str = "relu"
+    norm: str = "batch_static"
+    dropout_p: Optional[float] = None
+    conv_kind: str = "plain"
+    components: int = 1
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, component=None):
+        stem = make_conv(
+            self.conv_kind, 64, (7, 7), strides=2, padding=3, components=self.components
+        )
+        h = call_layer(stem, x, train, component)
+        if self.dropout_p is not None:
+            h = FixableDropout(self.dropout_p)(h, train=train)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        for stage, blocks in enumerate(self.stage_sizes):
+            features = 256 * (2**stage)
+            for block in range(blocks):
+                stride = 2 if (stage > 0 and block == 0) else 1
+                h = Bottleneck(
+                    features,
+                    stride,
+                    self.activation,
+                    self.norm,
+                    self.dropout_p,
+                    self.conv_kind,
+                    self.components,
+                )(h, train=train, component=component)
+
+        h = jnp.mean(h, axis=(1, 2))
+        head = make_dense(self.conv_kind, self.classes, components=self.components)
+        return call_layer(head, h, train, component)

@@ -1,0 +1,202 @@
+"""Bayes-by-Backprop layers with local reparameterization.
+
+TPU-native re-design of reference src/algos/bbb_layers.py. The
+"activations" sampling path computes the pre-activation mean and variance
+with ONE stacked batched matmul (mean-plane + variance-plane share the MXU,
+mirroring — and generalizing — the reference's fused ``baddbmm`` CUDA path,
+bbb_layers.py:61-70). Variance inputs are clamped at 1e-4 exactly like the
+reference (bbb_layers.py:65-67,73) since that floor is numerically
+load-bearing.
+
+KL: these layers do NOT sow KL — the closed-form Gaussian KL against the
+method prior is collected functionally from the ``__gmean``/``__grho``
+leaves by the BBB method (reference behavior: BBBOptimizer consumes
+parameter hooks, bbb.py:70-76, and ignores ``layer.kl``).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .base import sow_kl
+from .gaussian import blundell_mean_init, eval_noise, gaussian_param, gaussian_sample
+
+VAR_CLAMP = 1e-4
+
+
+class BBBDense(nn.Module):
+    """Variational dense layer (reference BBBLinear, bbb_layers.py:10-102).
+
+    sampling='activations': local reparameterization — sample the
+    pre-activations from their induced Gaussian.
+    sampling='parameters': draw weight matrices explicitly.
+    """
+
+    features: int
+    use_bias: bool = True
+    sampling: str = "activations"
+    freeze_on_eval: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        in_features = x.shape[-1]
+        w_mean, w_std = gaussian_param(self, "kernel", (in_features, self.features))
+        if self.use_bias:
+            b_mean, b_std = gaussian_param(self, "bias", (self.features,))
+
+        x = x.astype(self.dtype)
+        if self.sampling == "parameters":
+            w = gaussian_sample(self.make_rng("noise"), w_mean, w_std)
+            out = x @ w.astype(self.dtype)
+            if self.use_bias:
+                b = gaussian_sample(self.make_rng("noise"), b_mean, b_std)
+                out = out + b.astype(self.dtype)
+            return out
+
+        if self.sampling != "activations":
+            raise ValueError(f"invalid sampling mode {self.sampling!r}")
+
+        # One stacked matmul for (mean, variance) planes: [2,B,in]@[2,in,out].
+        x2 = jnp.maximum(x * x, VAR_CLAMP)
+        w_var = jnp.maximum(w_std * w_std, VAR_CLAMP)
+        lhs = jnp.stack([x, x2])
+        rhs = jnp.stack([w_mean.astype(self.dtype), w_var.astype(self.dtype)])
+        planes = jax.lax.dot_general(
+            lhs,
+            rhs,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        act_mean, act_var = planes[0], planes[1]
+        if self.use_bias:
+            act_mean = act_mean + b_mean
+            act_var = act_var + jnp.maximum(b_std * b_std, VAR_CLAMP)
+        act_std = jnp.sqrt(act_var)
+
+        eps = eval_noise(self, act_mean.shape, train, self.freeze_on_eval)
+        return (act_mean + act_std * eps).astype(self.dtype)
+
+
+class BBBConv(nn.Module):
+    """Variational conv layer, local reparameterization
+    (reference BBBConv2d, bbb_layers.py:105-163). NHWC / HWIO layout."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Union[int, Sequence[int]] = 1
+    padding: Union[str, int, Sequence] = 0
+    use_bias: bool = True
+    freeze_on_eval: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        in_features = x.shape[-1]
+        kh, kw = self.kernel_size
+        w_mean, w_std = gaussian_param(self, "kernel", (kh, kw, in_features, self.features))
+        if self.use_bias:
+            b_mean, b_std = gaussian_param(self, "bias", (self.features,))
+
+        strides = (
+            (self.strides, self.strides) if isinstance(self.strides, int) else tuple(self.strides)
+        )
+        if isinstance(self.padding, int):
+            padding = [(self.padding, self.padding)] * 2
+        else:
+            padding = self.padding
+
+        x = x.astype(self.dtype)
+
+        def conv(lhs, rhs):
+            return jax.lax.conv_general_dilated(
+                lhs,
+                rhs.astype(self.dtype),
+                window_strides=strides,
+                padding=padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+
+        act_mean = conv(x, w_mean)
+        act_var = conv(jnp.maximum(x * x, VAR_CLAMP), jnp.maximum(w_std * w_std, VAR_CLAMP))
+        if self.use_bias:
+            act_mean = act_mean + b_mean
+            act_var = act_var + b_std * b_std  # reference does not clamp conv bias var
+        act_std = jnp.sqrt(act_var)
+
+        eps = eval_noise(self, act_mean.shape, train, self.freeze_on_eval)
+        return (act_mean + act_std * eps).astype(self.dtype)
+
+
+class LowRankBBBDense(nn.Module):
+    """Low-rank (+ diagonal) covariance variational dense layer
+    (reference LowRankBBBLinear, bbb_layers.py:165-260).
+
+    Parameters are a flat vector over (in+1)*out entries: mean, diagonal
+    rho, and K low-rank factors. KL uses the capacitance-determinant form
+    (bbb_layers.py:250-260) and is sown into the KL collection since it is
+    not a plain diagonal-Gaussian pair.
+    """
+
+    features: int
+    rank: int
+    gamma: float = 1.0
+    rho_init: float = -3.0
+    offdiag_init: float = 0.0
+    freeze_on_eval: bool = True
+    kl_on_eval: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        in_features = x.shape[-1]
+        n_params = (in_features + 1) * self.features
+        k = self.rank
+        alpha = 1.0 / jnp.sqrt(k) if k != 0 else 1.0
+
+        mean = self.param("param_mean", blundell_mean_init(), (n_params,))
+        diag_rho = self.param(
+            "param_diag_rho", lambda key, s: jnp.full(s, self.rho_init), (n_params,)
+        )
+        lr_vars = self.param(
+            "param_lr_vars", lambda key, s: jnp.full(s, self.offdiag_init), (k, n_params)
+        )
+
+        batch = x.shape[0]
+        pad = jnp.concatenate([x, jnp.ones((batch, 1), x.dtype)], axis=-1)
+
+        w_mean = mean.reshape(in_features + 1, self.features)
+        diag_vars = jax.nn.softplus(diag_rho).reshape(in_features + 1, self.features) ** 2
+        w_lr = lr_vars.reshape(k, in_features + 1, self.features)
+
+        act_mean = pad @ w_mean
+        act_diag_std = jnp.sqrt(jnp.maximum((pad**2) @ diag_vars, 0.0))
+        act_lr = jnp.einsum("bi,kio->kbo", pad, w_lr)
+
+        key_d, key_l = jax.random.split(self.make_rng("noise"))
+        if not train and self.freeze_on_eval:
+            eps_diag = jnp.broadcast_to(
+                jax.random.normal(key_d, (1, self.features)), act_mean.shape
+            )
+            eps_lr = jax.random.normal(key_l, (k, 1, 1))
+        else:
+            eps_diag = jax.random.normal(key_d, act_mean.shape)
+            eps_lr = jax.random.normal(key_l, (k, batch, 1))
+
+        out = act_mean + act_diag_std * eps_diag + alpha * jnp.sum(act_lr * eps_lr, axis=0)
+
+        if train or self.kl_on_eval:
+            diag_sig = jax.nn.softplus(diag_rho)
+            capacitance = jnp.eye(k) + (lr_vars / diag_sig[None, :]) @ lr_vars.T
+            kl = 0.5 * (
+                jnp.sum(diag_sig / self.gamma - jnp.log(diag_sig))
+                + alpha / self.gamma * jnp.sum(jnp.sum(lr_vars**2, axis=1))
+                - jnp.linalg.slogdet(capacitance)[1]
+                + jnp.sum(mean**2) / self.gamma
+                + n_params * (jnp.log(self.gamma) - 1.0)
+            )
+            sow_kl(self, kl)
+        return out
