@@ -1,0 +1,168 @@
+"""CIFAR-10 (+ STL-10-shaped, + CIFAR-10-C corrupted) data.
+
+Reference experiments/base/cifar.py: Wilson-et-al normalization
+(MEAN=(0.49,0.48,0.44), STD=(0.2,0.2,0.2), cifar.py:10-12), train-time
+random crop (pad 4) + horizontal flip (cifar.py:16-22), per-intensity
+corrupted test splits from the CIFAR-10-C npy dump (cifar.py:58-71),
+class exclusion and subsampling knobs (cifar.py:31-38,50-56).
+
+TPU-native departure: augmentation is a JITTABLE BATCH FUNCTION
+(:func:`augment`) executed on device inside the training step — no host
+worker pool. Arrays are NHWC float32, already normalized.
+
+Sources: ``$BDE_DATA_DIR/cifar-10-batches-py`` (the standard python
+pickle batches) and ``$BDE_DATA_DIR/CIFAR-10-C/*.npy``; hermetic
+synthetic stand-ins otherwise.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Iterator, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .uci import data_dir
+
+MEAN = np.asarray([0.49, 0.48, 0.44], np.float32)
+STD = np.asarray([0.2, 0.2, 0.2], np.float32)
+
+CORRUPTIONS = [
+    "gaussian_noise",
+    "shot_noise",
+    "impulse_noise",
+    "defocus_blur",
+    "glass_blur",
+    "motion_blur",
+    "zoom_blur",
+    "snow",
+    "frost",
+    "fog",
+    "brightness",
+    "contrast",
+    "elastic_transform",
+    "pixelate",
+    "jpeg_compression",
+]
+
+
+def normalize(images_uint8_or_float: np.ndarray) -> np.ndarray:
+    """uint8 [N,32,32,3] or float in [0,1] -> normalized float32 NHWC."""
+    x = np.asarray(images_uint8_or_float, np.float32)
+    if x.max() > 2.0:
+        x = x / 255.0
+    return (x - MEAN) / STD
+
+
+def _synthetic_cifar(n: int, seed: int, classes: int = 10):
+    """Class-structured blobs: each class gets a color direction + spatial
+    frequency so that small convnets can actually fit it."""
+    rng = np.random.RandomState(seed)
+    y = rng.randint(0, classes, size=n)
+    base = rng.randn(classes, 4, 4, 3).astype(np.float32)
+    imgs = base[y]
+    imgs = imgs.repeat(8, axis=1).repeat(8, axis=2)
+    imgs = 0.5 + 0.15 * imgs + 0.1 * rng.randn(n, 32, 32, 3).astype(np.float32)
+    return np.clip(imgs, 0, 1), y.astype(np.int64)
+
+
+def _load_python_batches(root: str, train: bool):
+    names = [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]
+    xs, ys = [], []
+    for name in names:
+        with open(os.path.join(root, name), "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        xs.append(d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1))
+        ys.append(np.asarray(d[b"labels"], np.int64))
+    return np.concatenate(xs), np.concatenate(ys)
+
+
+def load_cifar10(
+    train: bool,
+    exclude_classes: Sequence[int] = (),
+    subsample: Optional[int] = None,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (normalized images NHWC float32, labels int64)."""
+    root = os.path.join(data_dir(), "cifar-10-batches-py")
+    if os.path.exists(root):
+        x, y = _load_python_batches(root, train)
+        x = normalize(x)
+    else:
+        n = 50_000 if train else 10_000
+        if subsample is not None:
+            n = min(n, max(subsample * 2, 512))
+        x, y = _synthetic_cifar(n, seed + (0 if train else 1))
+        x = normalize(x)
+    if exclude_classes:
+        keep = ~np.isin(y, list(exclude_classes))
+        x, y = x[keep], y[keep]
+    if subsample is not None:
+        x, y = x[:subsample], y[:subsample]
+    return x, y
+
+
+def load_cifar10_corrupted(
+    intensity: int, subsample: Optional[int] = None, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """All corruption types at one intensity in {0..4}, concatenated
+    (reference cifar.py:58-71). Synthetic fallback: the clean test set
+    plus intensity-scaled Gaussian noise per corruption type."""
+    root = os.path.join(data_dir(), "CIFAR-10-C")
+    if os.path.exists(root):
+        labels = np.load(os.path.join(root, "labels.npy")).astype(np.int64)
+        sel = slice(intensity * 10_000, (intensity + 1) * 10_000)
+        xs, ys = [], []
+        for file in sorted(os.listdir(root)):
+            if file == "labels.npy":
+                continue
+            arr = np.load(os.path.join(root, file)).astype(np.float32) / 256.0
+            xs.append((arr[sel] - MEAN) / STD)
+            ys.append(labels[sel])
+        x, y = np.concatenate(xs), np.concatenate(ys)
+    else:
+        x, y = load_cifar10(train=False, seed=seed)
+        rng = np.random.RandomState(seed + 100 + intensity)
+        xs, ys = [], []
+        for c, _ in enumerate(CORRUPTIONS[:3]):  # keep the fallback small
+            noise = rng.randn(*x.shape).astype(np.float32)
+            xs.append(x + 0.1 * (intensity + 1) * noise)
+            ys.append(y)
+        x, y = np.concatenate(xs), np.concatenate(ys)
+    if subsample is not None:
+        x, y = x[:subsample], y[:subsample]
+    return x, y
+
+
+def augment(key: jax.Array, images: jax.Array) -> jax.Array:
+    """Random crop (zero-pad 4) + horizontal flip, batched and jittable —
+    runs on device inside the train step (reference host-side transform
+    cifar.py:16-22)."""
+    b, h, w, c = images.shape
+    k_crop, k_flip = jax.random.split(key)
+    padded = jnp.pad(images, ((0, 0), (4, 4), (4, 4), (0, 0)))
+    offsets = jax.random.randint(k_crop, (b, 2), 0, 9)
+
+    def crop_one(img, off):
+        return jax.lax.dynamic_slice(img, (off[0], off[1], 0), (h, w, c))
+
+    cropped = jax.vmap(crop_one)(padded, offsets)
+    flip = jax.random.bernoulli(k_flip, 0.5, (b,))
+    return jnp.where(flip[:, None, None, None], cropped[:, :, ::-1, :], cropped)
+
+
+def batch_iter(
+    x: np.ndarray,
+    y: np.ndarray,
+    batch_size: int,
+    rng: Optional[np.random.RandomState] = None,
+    drop_remainder: bool = True,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    n = x.shape[0]
+    idx = np.arange(n) if rng is None else rng.permutation(n)
+    end = n - (n % batch_size) if drop_remainder else n
+    for start in range(0, end, batch_size):
+        sel = idx[start : start + batch_size]
+        yield x[sel], y[sel]

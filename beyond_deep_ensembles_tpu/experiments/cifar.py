@@ -1,0 +1,387 @@
+"""CIFAR-10 (+CIFAR-10-C) experiment: ResNet-20-FRN-swish, all algorithms.
+
+Reference experiments/cifar/{cifar.py,models.py,cifar.yaml}: SGD
+(momentum 0.9, nesterov) base optimizer under the Wilson LR schedule
+stepped per epoch (cifar.py:213-224), 50 posterior samples at eval,
+HMC agreement / total variation against the published posterior when
+available, corrupted test splits by intensity.
+
+TPU-native training step: device-side augmentation (random crop + flip)
+fused into the jitted update; ensemble members vmapped; log-softmax + NLL
+in the loss closure (the reference bakes LogSoftmax into the model,
+cifar/models.py:102-105).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import cifar as cifar_data
+from ..evals.classification import EvalResult, analyze_output, bayesian_model_average
+from ..methods import (
+    GaussianPrior,
+    LossOutput,
+    bbb_method,
+    deep_ensemble,
+    ivon_method,
+    laplace_method,
+    map_method,
+    predict,
+    sngp_method,
+    svgd_method,
+    swag_method,
+)
+from ..methods.api import PosteriorMethod
+from ..models.resnet import ResNet20
+from ..nn.base import Model
+from ..nn.sngp import SNGPHead
+from ..tree import tree_stack
+from ..utils.schedules import wilson_schedule
+
+import flax.linen as nn
+
+DEFAULT_CONFIG = {
+    "batch_size": 128,
+    "eval_batch_size": 500,
+    "epochs": 300,
+    "eval_samples": 50,
+    "ece_bins": 10,
+    "members": 1,
+    "lr": 0.05,
+    "weight_decay": 0.0003,
+    "momentum": 0.9,
+    "nesterov": True,
+    "lr_schedule": True,
+    "subsample": None,
+    "test_subsample": None,
+    "seed": 0,
+    # algorithm knobs (cifar.yaml defaults)
+    "p": 0.1,  # MCD dropout
+    "prior_std": 1.0,
+    "bbb_mc_samples": 2,
+    "kl_rescaling": 0.2,
+    "swag_deviation_samples": 30,
+    "swag_start_epoch": 250,
+    "swag_lr": 0.0005,
+    "svgd_particles": 5,
+    "svgd_reg_scale": 0.0003,
+    "ivon_lr": 1e-4,
+    "ivon_prior_prec": 50,
+    "ivon_damping": 0.001,
+    "ivon_augmentation": 10,
+    "ivon_mc_samples": 2,
+    "rank1_components": 4,
+    "rank1_l2_scale": 0.0003,
+    "rank1_kl_rescaling": 1.0,
+    "sngp": {
+        "num_random_features": 1024,
+        "num_gp_features": -1,
+        "normalize_gp_features": False,
+        "ridge_penalty": 1.0,
+        "mean_field_factor": 20.0,
+        "feature_scale": 1.0,
+        "rff_init_std": 0.05,
+    },
+    "spectral_norm_bound": 6.0,
+    "ll_hessian": "full",
+    "dataset_size": 50_000,
+}
+
+
+class SNGPResNet20(nn.Module):
+    """Spectral-normalized ResNet-20 featurizer + SNGP head (reference
+    cifar/models.py:85-99: head replaced by Identity, backbone wrapped
+    with spectral norm, SNGPWrapper on top)."""
+
+    classes: int = 10
+    spectral_norm_bound: float = 6.0
+    sngp_kwargs: dict = dataclasses.field(default_factory=dict)
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, n_samples: int = 1):
+        h = _resnet20_features(
+            x, train, conv_kind="spectral", norm_bound=self.spectral_norm_bound
+        )
+        return SNGPHead(outputs=self.classes, **self.sngp_kwargs)(
+            h, train=train, n_samples=n_samples
+        )
+
+
+def _resnet20_features(x, train, conv_kind="spectral", norm_bound=6.0):
+    """ResNet-20 feature trunk (everything before the classification
+    head, reference resnet.py:126-144 minus the final linear)."""
+    from ..models.layers import call_layer, make_conv
+    from ..models.resnet import BasicBlock
+
+    kwargs = {"norm_bound": norm_bound} if conv_kind == "spectral" else {}
+    h = call_layer(
+        make_conv(conv_kind, 16, (3, 3), strides=1, padding=1, **kwargs), x, train, None
+    )
+    widths = [(16, 1), (16, 1), (16, 1), (32, 2), (32, 1), (32, 1), (64, 2), (64, 1), (64, 1)]
+    for features, stride in widths:
+        h = BasicBlock(
+            features, stride, "swish", "frn", None, conv_kind, 1
+        )(h, train=train)
+    h = nn.avg_pool(h, (8, 8), strides=(8, 8))
+    return h.reshape(h.shape[0], -1)
+
+
+def _xent_loss_fn(model: Model, augment: bool = True):
+    def loss_fn(params, model_state, key, batch, component=None):
+        x, y = batch
+        k_aug, k_fwd = jax.random.split(key)
+        if augment:
+            x = cifar_data.augment(k_aug, x)
+        kwargs = {} if component is None else {"component": component}
+        out, kl, new_state = model.apply(params, model_state, k_fwd, x, train=True, **kwargs)
+        logp = jax.nn.log_softmax(out, axis=-1)
+        loss = -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+        acc = jnp.mean(jnp.argmax(out, axis=-1) == y)
+        return LossOutput(loss=loss, kl=kl, model_state=new_state, metrics={"acc": acc})
+
+    return loss_fn
+
+
+def _predict_fn(model: Model):
+    def apply_fn(params, model_state, key, x, n_samples=None):
+        kwargs = {} if n_samples is None else {"n_samples": n_samples}
+        out, _, _ = model.apply(params, model_state, key, x, train=False, **kwargs)
+        return jax.nn.log_softmax(out, axis=-1)
+
+    return apply_fn
+
+
+def _base_tx(config, steps_per_epoch: int):
+    lr = config["lr"]
+    if config.get("lr_schedule", True):
+        factor = wilson_schedule(config["epochs"], lr, config.get("swag_lr"))
+        schedule = lambda step: lr * factor(step // steps_per_epoch)
+    else:
+        schedule = lr
+    return optax.chain(
+        optax.add_decayed_weights(config.get("weight_decay", 0.0)),
+        optax.sgd(schedule, momentum=config["momentum"], nesterov=config["nesterov"]),
+    )
+
+
+@dataclasses.dataclass
+class BuiltExperiment:
+    model: Model
+    method: PosteriorMethod
+    state: object
+    apply_fn: Callable
+
+
+def _resnet(config, **kw) -> Model:
+    return Model(ResNet20(classes=10, activation="swish", norm="frn", **kw))
+
+
+def build(config: dict, key: jax.Array, steps_per_epoch: int = 390) -> BuiltExperiment:
+    name = config["model"]
+    members = config.get("members", 1)
+    n = config["dataset_size"]
+    example = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    k_model, k_method = jax.random.split(key)
+    tx = _base_tx(config, steps_per_epoch)
+
+    particles = None
+    if name in ("map", "laplace"):
+        model = _resnet(config)
+        inner = map_method(_xent_loss_fn(model), tx)
+    elif name == "mcd":
+        model = _resnet(config, dropout_p=config["p"])
+        inner = map_method(_xent_loss_fn(model), tx)
+    elif name == "swag":
+        model = _resnet(config)
+        # mean_samples=50 collected over the SWA epochs (cifar.yaml):
+        swag_epochs = max(1, config["epochs"] - config["swag_start_epoch"])
+        interval = max(1, steps_per_epoch * swag_epochs // 50)
+        inner = swag_method(
+            _xent_loss_fn(model),
+            tx,
+            update_interval=interval,
+            start_epoch=config["swag_start_epoch"],
+            deviation_samples=config["swag_deviation_samples"],
+        )
+    elif name == "bbb":
+        model = _resnet(config, conv_kind="bbb")
+        inner = bbb_method(
+            _xent_loss_fn(model),
+            tx,
+            GaussianPrior(0.0, config["prior_std"]),
+            dataset_size=n,
+            mc_samples=config["bbb_mc_samples"],
+            kl_rescaling=config["kl_rescaling"],
+        )
+    elif name == "rank1":
+        model = _resnet(
+            config, conv_kind="rank1", components=config["rank1_components"]
+        )
+        inner = bbb_method(
+            _xent_loss_fn(model),
+            tx,
+            GaussianPrior(0.0, config["prior_std"]),
+            dataset_size=n,
+            mc_samples=config["bbb_mc_samples"],
+            components=config["rank1_components"],
+            kl_rescaling=config["rank1_kl_rescaling"],
+            l2_scale=config["rank1_l2_scale"],
+        )
+    elif name == "svgd":
+        model = _resnet(config)
+        particles = config["svgd_particles"]
+        inner = svgd_method(
+            _xent_loss_fn(model),
+            tx,
+            particle_count=particles,
+            dataset_size=n,
+            l2_reg=config["svgd_reg_scale"],
+        )
+    elif name == "ivon":
+        model = _resnet(config)
+        inner = ivon_method(
+            _xent_loss_fn(model),
+            lr=config["ivon_lr"],
+            prior_prec=config["ivon_prior_prec"],
+            dataset_size=n,
+            damping=config["ivon_damping"],
+            augmentation=config["ivon_augmentation"],
+            mc_samples=config["ivon_mc_samples"],
+        )
+    elif name == "sngp":
+        model = Model(
+            SNGPResNet20(
+                classes=10,
+                spectral_norm_bound=config["spectral_norm_bound"],
+                sngp_kwargs=config["sngp"],
+            )
+        )
+        inner = sngp_method(
+            _xent_loss_fn(model), tx, ridge_penalty=config["sngp"]["ridge_penalty"]
+        )
+    else:
+        raise ValueError(f"unknown model {name!r}")
+
+    apply_fn = _predict_fn(model)
+
+    if particles is not None:
+        keys = jax.random.split(k_model, particles)
+        stacked = tree_stack([model.init(k, example)[0] for k in keys])
+        _, ms = model.init(keys[0], example)
+        state = inner.init(k_method, stacked, ms)
+        return BuiltExperiment(model, inner, state, apply_fn)
+    if members > 1:
+        method = deep_ensemble(inner, members)
+        keys = jax.random.split(k_model, members)
+        pairs = [model.init(k, example) for k in keys]
+        stacked = tree_stack([p for p, _ in pairs])
+        ms = jax.tree.map(lambda *ls: jnp.stack(ls), *[s for _, s in pairs]) if pairs[0][1] else {}
+        state = method.init(k_method, stacked, ms)
+        return BuiltExperiment(model, method, state, apply_fn)
+    params, ms = model.init(k_model, example)
+    state = inner.init(k_method, params, ms)
+    return BuiltExperiment(model, inner, state, apply_fn)
+
+
+def train(
+    built: BuiltExperiment,
+    config: dict,
+    x: np.ndarray,
+    y: np.ndarray,
+    log: Optional[Callable[[str], None]] = None,
+):
+    """Epoch loop, one jitted update per minibatch (reference
+    cifar.py:131-186)."""
+    method, state = built.method, built.state
+    update = jax.jit(method.update)
+    rng = np.random.RandomState(config["seed"])
+    key = jax.random.key(config["seed"])
+    step = 0
+    for epoch in range(config["epochs"]):
+        losses = []
+        for xb, yb in cifar_data.batch_iter(x, y, config["batch_size"], rng):
+            step += 1
+            state, metrics = update(
+                state, jax.random.fold_in(key, step), (jnp.asarray(xb), jnp.asarray(yb))
+            )
+            losses.append(metrics["loss"])
+        state = method.finalize_epoch(state)
+        if log:
+            log(f"epoch {epoch}: loss {float(jnp.mean(jnp.stack(losses))):.4f}")
+    built.state = state
+    return built
+
+
+def eval_model(
+    built: BuiltExperiment,
+    config: dict,
+    x: np.ndarray,
+    y: np.ndarray,
+    baseline_log_probs: Optional[np.ndarray] = None,
+    seed: int = 42,
+) -> EvalResult:
+    """Posterior-predictive eval over the test set (reference
+    cifar.py:26-69): S samples -> log-space BMA -> EvalResult, with HMC
+    agreement / TV when a baseline predictive is supplied."""
+    method, state = built.method, built.state
+    bs = config["eval_batch_size"]
+    outs, targets = [], []
+
+    @jax.jit
+    def predict_batch(state, xb, key):
+        return predict(
+            method, state, built.apply_fn, xb, n_samples=config["eval_samples"], key=key
+        )
+
+    key = jax.random.key(seed)
+    n = (x.shape[0] // bs) * bs
+    for i, start in enumerate(range(0, n, bs)):
+        xb = jnp.asarray(x[start : start + bs])
+        log_probs = predict_batch(state, xb, jax.random.fold_in(key, i))
+        outs.append(np.asarray(bayesian_model_average(log_probs)))
+        targets.append(y[start : start + bs])
+    log_marginal = jnp.asarray(np.concatenate(outs))
+    target = jnp.asarray(np.concatenate(targets))
+
+    baseline = None
+    if baseline_log_probs is not None:
+        baseline = jnp.asarray(baseline_log_probs[: log_marginal.shape[0]])
+    correct, conf, ll, agree, tv = analyze_output(log_marginal, target, baseline)
+    return EvalResult.create(
+        correct, conf, ll, bin_count=config["ece_bins"], agreements=agree, total_variations=tv
+    )
+
+
+def run_single(config: dict, log=None) -> dict:
+    """Train + eval on clean and corrupted splits; returns metric dict."""
+    config = {**DEFAULT_CONFIG, **config}
+    x_train, y_train = cifar_data.load_cifar10(True, subsample=config["subsample"])
+    x_test, y_test = cifar_data.load_cifar10(False, subsample=config["test_subsample"])
+    config["dataset_size"] = x_train.shape[0]
+    steps_per_epoch = max(1, x_train.shape[0] // config["batch_size"])
+
+    built = build(config, jax.random.key(config["seed"]), steps_per_epoch)
+    built = train(built, config, x_train, y_train, log=log)
+
+    if config["model"] == "laplace":
+        lap = laplace_method(
+            built.model,
+            hessian=config["ll_hessian"],
+            regression=False,
+            inner=built.method,
+        )
+        built.state = lap.fit(built.state, (jnp.asarray(x_train), jnp.asarray(y_train)))
+        built.method = lap
+
+    results = {"test": eval_model(built, config, x_test, y_test).as_dict()}
+    for intensity in config.get("corrupted_intensities", []):
+        xc, yc = cifar_data.load_cifar10_corrupted(
+            intensity, subsample=config["test_subsample"]
+        )
+        results[f"corrupted{intensity}"] = eval_model(built, config, xc, yc).as_dict()
+    return results

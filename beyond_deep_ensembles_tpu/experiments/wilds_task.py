@@ -1,0 +1,474 @@
+"""Generic WILDS experiment runner — one engine for all seven tasks.
+
+The reference repeats one template per task directory
+(experiments/{camelyon,iwildcam,fmow,rxrx1,amazon,civilcomments,poverty},
+SURVEY.md §2.5): per-algorithm model/optimizer builders, a train loop,
+WILDS official eval, plus last-layer variants (swag_ll / ll_ivon /
+ll_svgd / ll_bbb, reference iwildcam/models.py:87-154) and post-hoc
+Laplace. Here a task registry supplies the backbone and loss; every
+algorithm builder is shared.
+
+Backbones: camelyon/fmow -> from-scratch DenseNet-121; iwildcam/rxrx1 ->
+ResNet-50; poverty -> ResNet-18 (8 input channels) + GaussLayer
+regression; civilcomments/amazon -> DistilBERT classifier. The reference
+used torchvision/HF *pretrained* weights for iwildcam/fmow/rxrx1/bert
+(SURVEY.md §2.2); weight conversion hooks exist (models/bert.py
+load_hf_weights) and random init is used when no checkpoint is on disk.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import wilds as wilds_data
+from ..evals.classification import EvalResult, analyze_output, bayesian_model_average
+from ..evals.regression import RegressionResults, nll_loss
+from ..methods import (
+    GaussianPrior,
+    LossOutput,
+    bbb_method,
+    deep_ensemble,
+    ivon_method,
+    laplace_method,
+    last_layer_method,
+    map_method,
+    predict,
+    sngp_method,
+    svgd_method,
+    swag_method,
+)
+from ..methods.api import PosteriorMethod
+from ..models.bert import TINY_CONFIG, BertClassifier, DistilBertConfig
+from ..models.densenet import DenseNetClassifier
+from ..models.resnet import ResNet18, ResNet50
+from ..nn.base import Model
+from ..nn.gauss import GaussLayer
+from ..nn.sngp import SNGPHead
+from ..tree import tree_stack
+
+DEFAULT_CONFIG = {
+    "batch_size": 32,
+    "eval_batch_size": 64,
+    "epochs": 5,
+    "eval_samples": 10,
+    "ece_bins": 10,
+    "members": 1,
+    "lr": 1e-3,
+    "weight_decay": 0.0,
+    "momentum": 0.9,
+    "subsample": None,
+    "test_subsample": None,
+    "seed": 0,
+    "dropout_p": 0.1,
+    "prior_std": 1.0,
+    "bbb_mc_samples": 1,
+    "kl_rescaling": 1.0,
+    "swag_deviation_samples": 30,
+    "swag_start_epoch": 2,
+    "swag_updates": 50,
+    "svgd_particles": 3,
+    "svgd_reg_scale": 1e-4,
+    "ivon_lr": 1e-4,
+    "ivon_prior_prec": 50,
+    "ivon_mc_samples": 2,
+    "rank1_components": 2,
+    "rank1_l2_scale": 1e-4,
+    "sngp": {"num_random_features": 512, "ridge_penalty": 0.001,
+             "mean_field_factor": 0.25, "feature_scale": 2.0},
+    "spectral_norm_bound": 6.0,
+    "ll_hessian": "full",
+    "tiny": False,  # shrink backbones for tests/CI
+    "static_bn": True,  # batch stats at eval (reference static_bn patch)
+}
+
+
+def _make_backbone(task: str, config: dict, kind: str, dropout_p=None, head_kind=None) -> Model:
+    tiny = config.get("tiny", False)
+    spec = wilds_data.TASKS[task]
+    components = config.get("rank1_components", 1)
+    if task in ("camelyon17", "fmow"):
+        return Model(
+            DenseNetClassifier(
+                classes=spec.classes,
+                growth_rate=4 if tiny else 32,
+                block_config=(2, 2) if tiny else (6, 12, 24, 16),
+                init_features=8 if tiny else 64,
+                bn_size=2 if tiny else 4,
+                conv_kind=kind,
+                head_kind=head_kind or kind,
+                components=components,
+                dropout_p=dropout_p,
+                track_running_stats=not config.get("static_bn", True),
+            )
+        )
+    if task in ("iwildcam", "rxrx1"):
+        cls = ResNet50
+        return Model(
+            cls(
+                classes=spec.classes,
+                norm="batch_static" if config.get("static_bn", True) else "frn",
+                conv_kind=kind,
+                head_kind=head_kind,
+                components=components,
+                dropout_p=dropout_p,
+                stage_sizes=(1, 1) if tiny else (3, 4, 6, 3),
+            )
+        )
+    if task == "poverty":
+
+        class PovertyNet(nn.Module):
+            @nn.compact
+            def __call__(self, x, train: bool = True, component=None):
+                h = ResNet18(
+                    classes=1,
+                    norm="batch_static",
+                    conv_kind=kind,
+                    components=components,
+                    dropout_p=dropout_p,
+                )(x, train=train, component=component)
+                return GaussLayer(std_init=0.1, learn_var=True)(h, train=train)
+
+        return Model(PovertyNet())
+    if task in ("civilcomments", "amazon"):
+        head = {"plain": "map", "bbb": "bbb", "rank1": "rank1"}.get(head_kind or kind, "map")
+        if dropout_p is not None:
+            head = "drop"
+        return Model(
+            BertClassifier(
+                classes=spec.classes,
+                head_kind=head,
+                drop_p=dropout_p or 0.2,
+                components=components,
+                config=TINY_CONFIG if tiny else DistilBertConfig(),
+            )
+        )
+    raise ValueError(f"unknown task {task!r}")
+
+
+def _loss_fn_for(model: Model, regression: bool):
+    def loss_fn(params, model_state, key, batch, component=None):
+        x, y = batch
+        kwargs = {} if component is None else {"component": component}
+        out, kl, new_state = model.apply(params, model_state, key, x, train=True, **kwargs)
+        if regression:
+            loss = nll_loss(out, y)
+            metrics = {}
+        else:
+            logp = jax.nn.log_softmax(out, axis=-1)
+            loss = -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+            metrics = {"acc": jnp.mean(jnp.argmax(out, -1) == y)}
+        return LossOutput(loss=loss, kl=kl, model_state=new_state, metrics=metrics)
+
+    return loss_fn
+
+
+def _predict_fn(model: Model, regression: bool):
+    def apply_fn(params, model_state, key, x, n_samples=None):
+        kwargs = {} if n_samples is None else {"n_samples": n_samples}
+        out, _, _ = model.apply(params, model_state, key, x, train=False, **kwargs)
+        if regression:
+            return out
+        return jax.nn.log_softmax(out, axis=-1)
+
+    return apply_fn
+
+
+@dataclasses.dataclass
+class BuiltExperiment:
+    model: Model
+    method: PosteriorMethod
+    state: object
+    apply_fn: Callable
+    regression: bool
+
+
+def _tx(config):
+    return optax.chain(
+        optax.add_decayed_weights(config.get("weight_decay", 0.0)),
+        optax.sgd(config["lr"], momentum=config.get("momentum", 0.9)),
+    )
+
+
+def build(task: str, config: dict, key: jax.Array, steps_per_epoch: int) -> BuiltExperiment:
+    name = config["model"]
+    spec = wilds_data.TASKS[task]
+    regression = spec.classes == 1
+    members = config.get("members", 1)
+    n = config["dataset_size"]
+    k_model, k_method = jax.random.split(key)
+
+    if spec.text:
+        example = jnp.zeros((2,) + spec.input_shape, jnp.int32)
+    else:
+        shape = spec.input_shape
+        if config.get("tiny"):
+            shape = (32, 32, shape[-1])
+        example = jnp.zeros((2,) + shape, jnp.float32)
+
+    prior = GaussianPrior(0.0, config["prior_std"])
+
+    def swag_interval():
+        swag_epochs = max(1, config["epochs"] - config["swag_start_epoch"])
+        return max(1, steps_per_epoch * swag_epochs // config["swag_updates"])
+
+    def inner_factory_for(inner_name):
+        """Builder taking a loss_fn -> PosteriorMethod (used both full-
+        model and last-layer)."""
+        if inner_name == "swag":
+            return lambda lf: swag_method(
+                lf,
+                _tx(config),
+                update_interval=swag_interval(),
+                start_epoch=config["swag_start_epoch"],
+                deviation_samples=config["swag_deviation_samples"],
+            )
+        if inner_name == "bbb":
+            return lambda lf: bbb_method(
+                lf,
+                _tx(config),
+                prior,
+                dataset_size=n,
+                mc_samples=config["bbb_mc_samples"],
+                kl_rescaling=config["kl_rescaling"],
+            )
+        if inner_name == "ivon":
+            return lambda lf: ivon_method(
+                lf,
+                lr=config["ivon_lr"],
+                prior_prec=config["ivon_prior_prec"],
+                dataset_size=n,
+                mc_samples=config["ivon_mc_samples"],
+            )
+        if inner_name == "svgd":
+            return lambda lf: svgd_method(
+                lf,
+                _tx(config),
+                particle_count=config["svgd_particles"],
+                dataset_size=n,
+                l2_reg=config["svgd_reg_scale"],
+            )
+        raise ValueError(inner_name)
+
+    particles = None
+    if name in ("map", "laplace"):
+        model = _make_backbone(task, config, "plain")
+        inner = map_method(_loss_fn_for(model, regression), _tx(config))
+    elif name == "mcd":
+        model = _make_backbone(task, config, "plain", dropout_p=config["dropout_p"])
+        inner = map_method(_loss_fn_for(model, regression), _tx(config))
+    elif name in ("swag", "bbb", "ivon", "svgd"):
+        kind = "bbb" if name == "bbb" else "plain"
+        model = _make_backbone(task, config, kind)
+        inner = inner_factory_for(name)(_loss_fn_for(model, regression))
+        if name == "svgd":
+            particles = config["svgd_particles"]
+    elif name == "rank1":
+        model = _make_backbone(task, config, "rank1")
+        inner = bbb_method(
+            _loss_fn_for(model, regression),
+            _tx(config),
+            prior,
+            dataset_size=n,
+            mc_samples=config["bbb_mc_samples"],
+            components=config["rank1_components"],
+            l2_scale=config["rank1_l2_scale"],
+        )
+    elif name in ("swag_ll", "ll_bbb", "ll_ivon", "ll_svgd"):
+        # Last-layer variants (reference iwildcam/models.py:87-154):
+        # deterministic backbone optimizer + Bayesian head.
+        inner_name = name.replace("_ll", "").replace("ll_", "")
+        head_kind = "bbb" if inner_name == "bbb" else "plain"
+        model = _make_backbone(task, config, "plain", head_kind=head_kind)
+        inner = last_layer_method(
+            _loss_fn_for(model, regression),
+            inner_factory_for(inner_name),
+            backbone_tx=_tx(config),
+        )
+    elif name == "sngp":
+        model = _make_sngp(task, config)
+        inner = sngp_method(
+            _loss_fn_for(model, regression),
+            _tx(config),
+            ridge_penalty=config["sngp"]["ridge_penalty"],
+        )
+    else:
+        raise ValueError(f"unknown model {name!r}")
+
+    apply_fn = _predict_fn(model, regression)
+
+    if particles is not None:
+        keys = jax.random.split(k_model, particles)
+        pairs = [model.init(k, example) for k in keys]
+        stacked = tree_stack([p for p, _ in pairs])
+        state = inner.init(k_method, stacked, pairs[0][1])
+        return BuiltExperiment(model, inner, state, apply_fn, regression)
+    if members > 1:
+        method = deep_ensemble(inner, members)
+        keys = jax.random.split(k_model, members)
+        pairs = [model.init(k, example) for k in keys]
+        stacked = tree_stack([p for p, _ in pairs])
+        ms = (
+            jax.tree.map(lambda *ls: jnp.stack(ls), *[s for _, s in pairs])
+            if pairs[0][1]
+            else {}
+        )
+        state = method.init(k_method, stacked, ms)
+        return BuiltExperiment(model, method, state, apply_fn, regression)
+    params, ms = model.init(k_model, example)
+    state = inner.init(k_method, params, ms)
+    return BuiltExperiment(model, inner, state, apply_fn, regression)
+
+
+def _make_backbone_with_head(task, config, head_kind):
+    """Backbone with a Bayesian head layer (for ll_bbb)."""
+    return _make_backbone(task, config, "plain") if head_kind == "plain" else _make_backbone(
+        task, {**config, "rank1_components": config.get("rank1_components", 1)}, "plain"
+    )
+
+
+def _make_sngp(task: str, config: dict) -> Model:
+    """Spectral-norm backbone + SNGP head for image tasks; BERT + SNGP
+    head for text (reference iwildcam/fmow/civilcomments sngp builders)."""
+    spec = wilds_data.TASKS[task]
+    sngp_kwargs = config["sngp"]
+
+    if spec.text:
+
+        class BertSNGP(nn.Module):
+            @nn.compact
+            def __call__(self, x, train: bool = True, n_samples: int = 1):
+                from ..models.bert import DistilBertEncoder
+
+                cfg = TINY_CONFIG if config.get("tiny") else DistilBertConfig()
+                hidden = DistilBertEncoder(cfg, name="bert")(
+                    x[:, :, 0], x[:, :, 1], train=train
+                )
+                return SNGPHead(outputs=spec.classes, **sngp_kwargs)(
+                    hidden[:, 0], train=train, n_samples=n_samples
+                )
+
+        return Model(BertSNGP())
+
+    class ImageSNGP(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True, n_samples: int = 1):
+            backbone = _make_backbone(task, config, "spectral")
+            feats = backbone.module(x, train=train)
+            # classifier output doubles as features here; project via the
+            # SNGP head on the penultimate representation would require a
+            # feature cut — we use the logits-dim features (documented
+            # simplification; refine with a featurizer cut).
+            return SNGPHead(outputs=spec.classes, **sngp_kwargs)(
+                feats, train=train, n_samples=n_samples
+            )
+
+    return Model(ImageSNGP())
+
+
+def train(built: BuiltExperiment, config: dict, x, y, log=None):
+    method, state = built.method, built.state
+    update = jax.jit(method.update)
+    rng = np.random.RandomState(config["seed"])
+    key = jax.random.key(config["seed"])
+    bs = config["batch_size"]
+    step = 0
+    n = (x.shape[0] // bs) * bs
+    for epoch in range(config["epochs"]):
+        order = rng.permutation(x.shape[0])[:n]
+        losses = []
+        for start in range(0, n, bs):
+            sel = order[start : start + bs]
+            step += 1
+            state, metrics = update(
+                state,
+                jax.random.fold_in(key, step),
+                (jnp.asarray(x[sel]), jnp.asarray(y[sel])),
+            )
+            losses.append(metrics["loss"])
+        state = method.finalize_epoch(state)
+        if log:
+            log(f"epoch {epoch}: loss {float(jnp.mean(jnp.stack(losses))):.4f}")
+    built.state = state
+    return built
+
+
+def eval_task(built: BuiltExperiment, task: str, config: dict, x, y, meta, seed=42):
+    """Posterior-predictive eval + the task's official WILDS metrics."""
+    spec = wilds_data.TASKS[task]
+    bs = config["eval_batch_size"]
+    n = (x.shape[0] // bs) * bs
+
+    @jax.jit
+    def predict_batch(state, xb, key):
+        return predict(
+            built.method, state, built.apply_fn, xb,
+            n_samples=config["eval_samples"], key=key,
+        )
+
+    key = jax.random.key(seed)
+    outs, targets = [], []
+    for i, start in enumerate(range(0, n, bs)):
+        xb = jnp.asarray(x[start : start + bs])
+        samples = predict_batch(built.state, xb, jax.random.fold_in(key, i))
+        outs.append(np.asarray(samples))
+        targets.append(y[start : start + bs])
+    outputs = np.concatenate(outs, axis=1)  # [S, N, ...]
+    targets = np.concatenate(targets)
+    meta = meta[:n]
+
+    if built.regression:
+        res = RegressionResults.create(
+            jnp.asarray(outputs), jnp.asarray(targets), key=jax.random.key(seed + 1)
+        )
+        preds = outputs[..., 0].mean(axis=0)
+        official = wilds_data.evaluate_task(task, preds, np.asarray(targets), meta)
+        return {
+            "avg_lml": float(res.average_lml),
+            "avg_ll": float(res.average_log_likelihood),
+            "mse": float(res.mse_of_means),
+            "qce": float(res.qce),
+            "sqce": float(res.sqce),
+            **official,
+        }
+
+    log_marginal = np.asarray(
+        bayesian_model_average(jnp.asarray(outputs))
+    )
+    correct, conf, ll, _, _ = analyze_output(
+        jnp.asarray(log_marginal), jnp.asarray(targets)
+    )
+    result = EvalResult.create(correct, conf, ll, bin_count=config["ece_bins"])
+    preds = log_marginal.argmax(axis=1)
+    official = wilds_data.evaluate_task(task, preds, np.asarray(targets), meta)
+    return {**result.as_dict(), **official}
+
+
+def run_single(task: str, config: dict, log=None) -> dict:
+    config = {**DEFAULT_CONFIG, **config}
+    x, y, meta = wilds_data.load_wilds(task, "train", subsample=config["subsample"])
+    xt, yt, mt = wilds_data.load_wilds(task, "test", subsample=config["test_subsample"])
+    if config.get("tiny") and not wilds_data.TASKS[task].text:
+        x, xt = x[:, :32, :32, :], xt[:, :32, :32, :]
+    config["dataset_size"] = x.shape[0]
+    steps_per_epoch = max(1, x.shape[0] // config["batch_size"])
+
+    built = build(task, config, jax.random.key(config["seed"]), steps_per_epoch)
+    built = train(built, config, x, y, log=log)
+
+    if config["model"] == "laplace":
+        lap = laplace_method(
+            built.model,
+            hessian=config["ll_hessian"],
+            regression=built.regression,
+            inner=built.method,
+        )
+        built.state = lap.fit(built.state, (jnp.asarray(x), jnp.asarray(y)))
+        built.method = lap
+
+    return eval_task(built, task, config, xt, yt, mt)

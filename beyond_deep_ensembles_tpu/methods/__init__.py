@@ -22,6 +22,8 @@ from .svgd import svgd_method  # noqa: F401
 from .ivon import ivon_method  # noqa: F401
 from .ensemble import deep_ensemble, predict  # noqa: F401
 from .laplace import laplace_method  # noqa: F401
+from .sngp import sngp_method  # noqa: F401
+from .last_layer import last_layer_method  # noqa: F401
 from .sgmcmc import sgld, sgmcmc_method  # noqa: F401
 from .vi import mfvi_method  # noqa: F401
 from .hmc import hmc_method  # noqa: F401

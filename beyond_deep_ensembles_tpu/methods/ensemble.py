@@ -77,6 +77,13 @@ def predict(
     methods that materialize sampled parameters (SWAG); ``None`` vmaps
     all samples.
     """
+    if method.multisample:
+        # One forward producing all S samples (reference ensemble.py:34-35
+        # ``supports_multisample``: SNGP mean-field/mc, Laplace).
+        k_sample, k_apply = jax.random.split(key)
+        params, model_state = method.sample(state, k_sample, 0)
+        return apply_fn(params, model_state, k_apply, x, n_samples=n_samples)
+
     keys = jax.random.split(key, n_samples)
     idx = jnp.arange(n_samples)
 

@@ -81,7 +81,6 @@ class LaplacePosterior(PosteriorMethod):
 
     fit: Callable = None
     optimize_prior_prec: Callable = None
-    multisample: bool = True
 
 
 def laplace_method(

@@ -1,0 +1,198 @@
+"""DistilBERT classifier with swappable Bayesian heads.
+
+Reference src/architectures/bert.py: HF ``DistilBertModel`` backbone +
+2-layer head (768 -> 768 -> classes) in MAP / MC-Dropout / BBB / Rank-1
+variants; the input packs (input_ids, attention_mask) as one int tensor
+[B, L, 2] and the CLS token feeds the head (bert.py:46-51).
+
+TPU-native: the DistilBERT encoder is implemented directly in flax
+(post-layernorm transformer, GELU FFN, learned positions — matching the
+distilbert-base-uncased architecture: dim 768, 6 layers, 12 heads) with
+``jax.nn.dot_product_attention`` so XLA lowers attention to the fused TPU
+kernel. Pretrained HF torch weights are converted by
+:func:`load_hf_weights` when a checkpoint directory is available
+(hermetic random init otherwise — fine for tests/benchmarks).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.dropout import FixableDropout
+from .layers import call_layer, make_dense
+
+
+class DistilBertConfig:
+    def __init__(
+        self,
+        vocab_size: int = 30522,
+        dim: int = 768,
+        n_layers: int = 6,
+        n_heads: int = 12,
+        hidden_dim: int = 3072,
+        max_position_embeddings: int = 512,
+        dropout: float = 0.1,
+        attention_dropout: float = 0.1,
+    ):
+        self.vocab_size = vocab_size
+        self.dim = dim
+        self.n_layers = n_layers
+        self.n_heads = n_heads
+        self.hidden_dim = hidden_dim
+        self.max_position_embeddings = max_position_embeddings
+        self.dropout = dropout
+        self.attention_dropout = attention_dropout
+
+
+TINY_CONFIG = DistilBertConfig(
+    vocab_size=1024, dim=64, n_layers=2, n_heads=2, hidden_dim=128
+)
+
+
+class TransformerBlock(nn.Module):
+    """Post-LN block (DistilBERT layout: attn -> add&LN -> FFN -> add&LN)."""
+
+    dim: int
+    n_heads: int
+    hidden_dim: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = True):
+        head_dim = self.dim // self.n_heads
+        b, l, _ = x.shape
+
+        def proj(name):
+            return nn.Dense(self.dim, name=name)
+
+        q = proj("q_lin")(x).reshape(b, l, self.n_heads, head_dim)
+        k = proj("k_lin")(x).reshape(b, l, self.n_heads, head_dim)
+        v = proj("v_lin")(x).reshape(b, l, self.n_heads, head_dim)
+        # Fused attention; mask [B, L] -> [B, 1, L, L] key-side bias.
+        attn_mask = mask[:, None, None, :].astype(bool)
+        attn = jax.nn.dot_product_attention(q, k, v, mask=attn_mask)
+        attn = attn.reshape(b, l, self.dim)
+        attn = nn.Dense(self.dim, name="out_lin")(attn)
+        if train and self.dropout > 0:
+            attn = nn.Dropout(self.dropout, deterministic=False)(attn)
+        x = nn.LayerNorm(name="sa_layer_norm")(x + attn)
+
+        h = nn.Dense(self.hidden_dim, name="lin1")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, name="lin2")(h)
+        if train and self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=False)(h)
+        return nn.LayerNorm(name="output_layer_norm")(x + h)
+
+
+class DistilBertEncoder(nn.Module):
+    config: DistilBertConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, train: bool = True):
+        cfg = self.config
+        tok = nn.Embed(cfg.vocab_size, cfg.dim, name="word_embeddings")(input_ids)
+        pos_ids = jnp.arange(input_ids.shape[1])[None, :]
+        pos = nn.Embed(
+            cfg.max_position_embeddings, cfg.dim, name="position_embeddings"
+        )(pos_ids)
+        h = nn.LayerNorm(name="embed_layer_norm")(tok + pos)
+        if train and cfg.dropout > 0:
+            h = nn.Dropout(cfg.dropout, deterministic=False)(h)
+        for i in range(cfg.n_layers):
+            h = TransformerBlock(
+                cfg.dim, cfg.n_heads, cfg.hidden_dim, cfg.dropout, name=f"layer_{i}"
+            )(h, attention_mask, train=train)
+        return h
+
+
+class BertClassifier(nn.Module):
+    """Reference BertClassifier (bert.py:10-51). head_kind in
+    {'map', 'drop', 'bbb', 'rank1'}; input [B, L, 2] packs
+    (input_ids, attention_mask)."""
+
+    classes: int
+    head_kind: str = "map"
+    drop_p: float = 0.2
+    components: int = 1
+    config: Optional[DistilBertConfig] = None
+
+    @nn.compact
+    def __call__(self, packed_input, train: bool = True, component=None):
+        cfg = self.config or DistilBertConfig()
+        input_ids = packed_input[:, :, 0]
+        attention_mask = packed_input[:, :, 1]
+        hidden = DistilBertEncoder(cfg, name="bert")(
+            input_ids, attention_mask, train=train
+        )
+        cls = hidden[:, 0]
+
+        kind = {"map": "plain", "drop": "plain"}.get(self.head_kind, self.head_kind)
+        h = call_layer(
+            make_dense(kind, cfg.dim, components=self.components), cls, train, component
+        )
+        h = nn.relu(h)
+        # 'drop' uses MC-Dropout (active at eval); others train-only 0.2
+        # (reference bert.py:19,26,33,40).
+        if self.head_kind == "drop":
+            h = FixableDropout(self.drop_p)(h, train=train)
+        elif train:
+            h = nn.Dropout(0.2, deterministic=False)(h)
+        return call_layer(
+            make_dense(kind, self.classes, components=self.components), h, train, component
+        )
+
+
+def load_hf_weights(params: dict, hf_dir: str) -> dict:
+    """Convert a HuggingFace distilbert-base-uncased torch checkpoint into
+    this module's param tree (backbone only; heads stay at init). Returns
+    a new params dict; no-op path for hermetic runs."""
+    import torch
+
+    sd = torch.load(f"{hf_dir}/pytorch_model.bin", map_location="cpu")
+
+    def t2j(t, transpose=False):
+        arr = np.asarray(t.detach().numpy(), np.float32)
+        return jnp.asarray(arr.T if transpose else arr)
+
+    bert = dict(params["bert"])
+    pre = "distilbert." if any(k.startswith("distilbert.") for k in sd) else ""
+    e = f"{pre}embeddings."
+    bert["word_embeddings"] = {"embedding": t2j(sd[e + "word_embeddings.weight"])}
+    bert["position_embeddings"] = {
+        "embedding": t2j(sd[e + "position_embeddings.weight"])
+    }
+    bert["embed_layer_norm"] = {
+        "scale": t2j(sd[e + "LayerNorm.weight"]),
+        "bias": t2j(sd[e + "LayerNorm.bias"]),
+    }
+    n_layers = sum(1 for k in bert if k.startswith("layer_"))
+    for i in range(n_layers):
+        t = f"{pre}transformer.layer.{i}."
+        layer = {}
+        for ours, theirs in [
+            ("q_lin", "attention.q_lin"),
+            ("k_lin", "attention.k_lin"),
+            ("v_lin", "attention.v_lin"),
+            ("out_lin", "attention.out_lin"),
+            ("lin1", "ffn.lin1"),
+            ("lin2", "ffn.lin2"),
+        ]:
+            layer[ours] = {
+                "kernel": t2j(sd[t + theirs + ".weight"], transpose=True),
+                "bias": t2j(sd[t + theirs + ".bias"]),
+            }
+        for ours, theirs in [
+            ("sa_layer_norm", "sa_layer_norm"),
+            ("output_layer_norm", "output_layer_norm"),
+        ]:
+            layer[ours] = {
+                "scale": t2j(sd[t + theirs + ".weight"]),
+                "bias": t2j(sd[t + theirs + ".bias"]),
+            }
+        bert[f"layer_{i}"] = layer
+    return {**params, "bert": bert}

@@ -1,0 +1,183 @@
+"""Config-driven DenseNet (DenseNet-121 shape for Camelyon17/FMoW).
+
+Reference src/architectures/densenet.py:98-210: dense layers
+(norm-relu-1x1 conv-norm-relu-3x3 conv with bottleneck width
+bn_size * growth), transitions halving channels, BatchNorm whose
+``track_running_stats`` is a config switch (densenet.py:124-125 — the
+"static BN" mode evaluates with batch statistics and is the
+accuracy-critical setting per BASELINE.md), and a separate
+ClassificationHead whose linear is plain/BBB/Rank-1.
+
+NHWC. Dense connectivity keeps a single growing feature tensor instead
+of the reference's Python list-of-tensors (densenet.py:150-154) — one
+concat per layer, XLA-friendly.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..nn.dropout import FixableDropout
+from .layers import call_layer, make_conv, make_dense
+
+
+class _BN(nn.Module):
+    track_running_stats: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if self.track_running_stats:
+            return nn.BatchNorm(use_running_average=not train)(x)
+        # static BN: batch statistics always (reference util.py:204-218)
+        return nn.BatchNorm(use_running_average=False)(x)
+
+
+class DenseLayer(nn.Module):
+    growth_rate: int
+    bn_size: int
+    conv_kind: str = "plain"
+    components: int = 1
+    dropout_p: Optional[float] = None
+    track_running_stats: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, component=None):
+        def drop(h):
+            if self.dropout_p is not None:
+                return FixableDropout(self.dropout_p)(h, train=train)
+            return h
+
+        h = _BN(self.track_running_stats)(x, train=train)
+        h = nn.relu(h)
+        h = call_layer(
+            make_conv(
+                self.conv_kind,
+                self.bn_size * self.growth_rate,
+                (1, 1),
+                use_bias=False,
+                components=self.components,
+            ),
+            h,
+            train,
+            component,
+        )
+        h = drop(h)
+        h = _BN(self.track_running_stats)(h, train=train)
+        h = nn.relu(h)
+        h = call_layer(
+            make_conv(
+                self.conv_kind,
+                self.growth_rate,
+                (3, 3),
+                padding=1,
+                use_bias=False,
+                components=self.components,
+            ),
+            h,
+            train,
+            component,
+        )
+        return drop(h)
+
+
+class DenseNet(nn.Module):
+    """Feature extractor returning pooled features [B, out_features]
+    (reference DenseNet, densenet.py:166-202). DenseNet-121:
+    growth_rate=32, block_config=(6,12,24,16), init_features=64,
+    bn_size=4 (experiments/camelyon/models.py:41)."""
+
+    growth_rate: int = 32
+    block_config: Sequence[int] = (6, 12, 24, 16)
+    init_features: int = 64
+    bn_size: int = 4
+    conv_kind: str = "plain"
+    components: int = 1
+    dropout_p: Optional[float] = None
+    track_running_stats: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, component=None):
+        h = call_layer(
+            make_conv(
+                self.conv_kind,
+                self.init_features,
+                (7, 7),
+                strides=2,
+                padding=3,
+                use_bias=False,
+                components=self.components,
+            ),
+            x,
+            train,
+            component,
+        )
+        h = _BN(self.track_running_stats)(h, train=train)
+        h = nn.relu(h)
+        if self.dropout_p is not None:
+            h = FixableDropout(self.dropout_p)(h, train=train)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        for i, n_layers in enumerate(self.block_config):
+            for _ in range(n_layers):
+                new = DenseLayer(
+                    self.growth_rate,
+                    self.bn_size,
+                    self.conv_kind,
+                    self.components,
+                    self.dropout_p,
+                    self.track_running_stats,
+                )(h, train=train, component=component)
+                h = jnp.concatenate([h, new], axis=-1)
+            if i != len(self.block_config) - 1:
+                # Transition (reference densenet.py:156-164)
+                t = _BN(self.track_running_stats)(h, train=train)
+                t = nn.relu(t)
+                t = call_layer(
+                    make_conv(
+                        self.conv_kind,
+                        h.shape[-1] // 2,
+                        (1, 1),
+                        use_bias=False,
+                        components=self.components,
+                    ),
+                    t,
+                    train,
+                    component,
+                )
+                h = nn.avg_pool(t, (2, 2), strides=(2, 2))
+
+        h = _BN(self.track_running_stats)(h, train=train)
+        h = nn.relu(h)
+        return jnp.mean(h, axis=(1, 2))
+
+
+class DenseNetClassifier(nn.Module):
+    """DenseNet + ClassificationHead (reference densenet.py:204-210)."""
+
+    classes: int
+    growth_rate: int = 32
+    block_config: Sequence[int] = (6, 12, 24, 16)
+    init_features: int = 64
+    bn_size: int = 4
+    conv_kind: str = "plain"
+    head_kind: str = "plain"
+    components: int = 1
+    dropout_p: Optional[float] = None
+    track_running_stats: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, component=None):
+        h = DenseNet(
+            self.growth_rate,
+            self.block_config,
+            self.init_features,
+            self.bn_size,
+            self.conv_kind,
+            self.components,
+            self.dropout_p,
+            self.track_running_stats,
+        )(x, train=train, component=component)
+        head = make_dense(self.head_kind, self.classes, components=self.components)
+        return call_layer(head, h, train, component)

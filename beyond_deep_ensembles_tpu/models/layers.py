@@ -13,8 +13,9 @@ import flax.linen as nn
 
 from ..nn.bbb import BBBConv, BBBDense
 from ..nn.rank1 import Rank1Conv, Rank1Dense
+from ..nn.spectral_norm import SpectralNormConv, SpectralNormDense
 
-DenseFactory = str  # 'plain' | 'bbb' | 'rank1'
+DenseFactory = str  # 'plain' | 'bbb' | 'rank1' | 'spectral'
 ConvFactory = str
 
 
@@ -27,6 +28,8 @@ def make_dense(
         return BBBDense(features, use_bias=use_bias, **kwargs)
     if kind == "rank1":
         return Rank1Dense(features, use_bias=use_bias, components=components, **kwargs)
+    if kind == "spectral":
+        return SpectralNormDense(features, use_bias=use_bias, **kwargs)
     raise ValueError(f"unknown dense kind {kind!r}")
 
 
@@ -58,6 +61,10 @@ def make_conv(
             components=components,
             **kwargs,
         )
+    if kind == "spectral":
+        return SpectralNormConv(
+            features, kernel_size, strides=strides, padding=padding, use_bias=use_bias, **kwargs
+        )
     raise ValueError(f"unknown conv kind {kind!r}")
 
 
@@ -65,6 +72,6 @@ def call_layer(layer: nn.Module, x, train: bool, component=None):
     """Invoke a factory-made layer with the right signature."""
     if isinstance(layer, (Rank1Dense, Rank1Conv)):
         return layer(x, train=train, component=component)
-    if isinstance(layer, (BBBDense, BBBConv)):
+    if isinstance(layer, (BBBDense, BBBConv, SpectralNormDense, SpectralNormConv)):
         return layer(x, train=train)
     return layer(x)

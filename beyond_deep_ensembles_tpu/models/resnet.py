@@ -228,6 +228,7 @@ class ResNet20(nn.Module):
     norm: str = "batch_static"
     dropout_p: Optional[float] = None
     conv_kind: str = "plain"
+    head_kind: Optional[str] = None  # defaults to conv_kind
     components: int = 1
 
     @nn.compact
@@ -255,7 +256,7 @@ class ResNet20(nn.Module):
         if in_size >= 32:
             h = nn.avg_pool(h, (8, 8), strides=(8, 8))
         h = h.reshape(h.shape[0], -1)
-        head = make_dense(self.conv_kind, self.classes, components=self.components)
+        head = make_dense(self.head_kind or self.conv_kind, self.classes, components=self.components)
         return call_layer(head, h, train, component)
 
 
@@ -267,6 +268,7 @@ class PreResNet20(nn.Module):
     norm: str = "batch_static"
     dropout_p: Optional[float] = None
     conv_kind: str = "plain"
+    head_kind: Optional[str] = None  # defaults to conv_kind
     components: int = 1
 
     @nn.compact
@@ -293,7 +295,7 @@ class PreResNet20(nn.Module):
         if x.shape[1] >= 32:
             h = nn.avg_pool(h, (8, 8), strides=(8, 8))
         h = h.reshape(h.shape[0], -1)
-        head = make_dense(self.conv_kind, self.classes, components=self.components)
+        head = make_dense(self.head_kind or self.conv_kind, self.classes, components=self.components)
         return call_layer(head, h, train, component)
 
 
@@ -307,6 +309,7 @@ class ResNet18(nn.Module):
     norm: str = "batch_static"
     dropout_p: Optional[float] = None
     conv_kind: str = "plain"
+    head_kind: Optional[str] = None  # defaults to conv_kind
     components: int = 1
 
     @nn.compact
@@ -332,7 +335,7 @@ class ResNet18(nn.Module):
             )(h, train=train, component=component)
 
         h = jnp.mean(h, axis=(1, 2))
-        head = make_dense(self.conv_kind, self.classes, components=self.components)
+        head = make_dense(self.head_kind or self.conv_kind, self.classes, components=self.components)
         return call_layer(head, h, train, component)
 
 
@@ -344,6 +347,7 @@ class ResNet50(nn.Module):
     norm: str = "batch_static"
     dropout_p: Optional[float] = None
     conv_kind: str = "plain"
+    head_kind: Optional[str] = None  # defaults to conv_kind
     components: int = 1
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
 
@@ -372,5 +376,5 @@ class ResNet50(nn.Module):
                 )(h, train=train, component=component)
 
         h = jnp.mean(h, axis=(1, 2))
-        head = make_dense(self.conv_kind, self.classes, components=self.components)
+        head = make_dense(self.head_kind or self.conv_kind, self.classes, components=self.components)
         return call_layer(head, h, train, component)

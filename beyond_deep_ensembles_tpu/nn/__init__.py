@@ -11,3 +11,5 @@ from .rank1 import Rank1Dense, Rank1Conv  # noqa: F401
 from .dropout import FixableDropout  # noqa: F401
 from .frn import FilterResponseNorm, VariationalFilterResponseNorm  # noqa: F401
 from .gauss import GaussLayer  # noqa: F401
+from .sngp import SNGPHead, RandomFourierFeatures  # noqa: F401
+from .spectral_norm import SpectralNormDense, SpectralNormConv  # noqa: F401

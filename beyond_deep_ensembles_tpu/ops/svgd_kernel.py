@@ -55,8 +55,8 @@ def _gram_kernel(x_ref, out_ref, acc_ref):
         out_ref[:] = acc_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("tile_p",))
-def _gram_pallas(x: jax.Array, tile_p: int = 512) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("tile_p", "interpret"))
+def _gram_pallas(x: jax.Array, tile_p: int = 512, interpret: bool = False) -> jax.Array:
     n, p = x.shape
     n_pad = _round_up(max(n, 8), 8)
     p_pad = _round_up(p, tile_p)
@@ -71,6 +71,7 @@ def _gram_pallas(x: jax.Array, tile_p: int = 512) -> jax.Array:
         out_specs=pl.BlockSpec((n_pad, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((n_pad, n_pad), jnp.float32)],
+        interpret=interpret,
     )(x)
     return out[:n, :n]
 

@@ -1,0 +1,154 @@
+"""Last-layer composition, DenseNet, checkpoint save/restore."""
+import os
+import tempfile
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from beyond_deep_ensembles_tpu.methods import (
+    GaussianPrior,
+    LossOutput,
+    bbb_method,
+    last_layer_method,
+    map_method,
+    predict,
+    swag_method,
+)
+from beyond_deep_ensembles_tpu.methods.last_layer import merge_params, split_params
+from beyond_deep_ensembles_tpu.methods.laplace import last_layer_mask
+from beyond_deep_ensembles_tpu.models.densenet import DenseNetClassifier
+from beyond_deep_ensembles_tpu.nn.base import Model
+from beyond_deep_ensembles_tpu.utils import checkpoint as ckpt
+
+
+class TwoLayer(nn.Module):
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        h = nn.relu(nn.Dense(16)(x))
+        return nn.Dense(1)(h)
+
+
+def _setup_ll(inner_factory):
+    model = Model(TwoLayer())
+    x = jnp.asarray(np.random.RandomState(0).randn(64, 4).astype(np.float32))
+    w = np.random.RandomState(1).randn(4, 1).astype(np.float32)
+    y = jnp.asarray(np.asarray(x) @ w)
+    params, ms = model.init(jax.random.key(0), x)
+
+    def loss_fn(params, model_state, key, batch):
+        xb, yb = batch
+        out, kl, new_ms = model.apply(params, model_state, key, xb, train=True)
+        return LossOutput(loss=jnp.mean((out - yb) ** 2), kl=kl, model_state=new_ms)
+
+    method = last_layer_method(loss_fn, inner_factory, optax.adam(0.01))
+    state = method.init(jax.random.key(1), params, ms)
+    return model, method, state, (x, y), params
+
+
+def test_split_merge_roundtrip():
+    params = {"Dense_0": {"kernel": jnp.ones((4, 16))}, "Dense_1": {"kernel": jnp.ones((16, 1))}}
+    mask = last_layer_mask(params)
+    assert jax.tree.leaves(mask) == [False, True]
+    b, h = split_params(params, mask)
+    assert b["Dense_1"]["kernel"].size == 0
+    assert h["Dense_0"]["kernel"].size == 0
+    merged = merge_params(b, h)
+    np.testing.assert_allclose(merged["Dense_0"]["kernel"], params["Dense_0"]["kernel"])
+    np.testing.assert_allclose(merged["Dense_1"]["kernel"], params["Dense_1"]["kernel"])
+
+
+def test_last_layer_swag_trains_both_parts():
+    model, method, state, batch, params0 = _setup_ll(
+        lambda lf: swag_method(lf, optax.adam(0.01), update_interval=1, start_epoch=0)
+    )
+    update = jax.jit(method.update)
+    for i in range(30):
+        state, metrics = update(state, jax.random.key(i), batch)
+    # both backbone and head moved
+    assert not np.allclose(
+        state.backbone["Dense_0"]["kernel"], params0["Dense_0"]["kernel"]
+    )
+    assert not np.allclose(
+        state.inner.params["Dense_1"]["kernel"], params0["Dense_1"]["kernel"]
+    )
+    assert float(metrics["loss"]) < 3.0
+    # SWAG posterior sampling draws only over the head
+    p1, _ = method.sample(state, jax.random.key(99))
+    p2, _ = method.sample(state, jax.random.key(100))
+    np.testing.assert_allclose(
+        p1["Dense_0"]["kernel"], p2["Dense_0"]["kernel"]
+    )  # backbone deterministic
+    assert not np.allclose(p1["Dense_1"]["kernel"], p2["Dense_1"]["kernel"])
+
+
+def test_last_layer_bbb_runs():
+    # BBB inner over a plain head: the head has no gaussian leaves, so KL
+    # is zero — the composition still has to train (l2 path).
+    model, method, state, batch, _ = _setup_ll(
+        lambda lf: bbb_method(lf, optax.adam(0.01), GaussianPrior(), dataset_size=64)
+    )
+    update = jax.jit(method.update)
+    loss0 = None
+    for i in range(30):
+        state, metrics = update(state, jax.random.key(i), batch)
+        loss0 = loss0 or float(metrics["loss"])
+    assert float(metrics["loss"]) < loss0
+
+
+def test_densenet_shapes_and_variants():
+    x = jnp.zeros((2, 32, 32, 3))
+    for kind in ["plain", "bbb"]:
+        model = Model(
+            DenseNetClassifier(
+                classes=2,
+                growth_rate=4,
+                block_config=(2, 2),
+                init_features=8,
+                bn_size=2,
+                conv_kind=kind,
+                head_kind=kind,
+            )
+        )
+        params, ms = model.init(jax.random.key(0), x)
+        out, kl, _ = model.apply(params, ms, jax.random.key(1), x, train=True)
+        assert out.shape == (2, 2)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_checkpoint_roundtrip():
+    model = Model(TwoLayer())
+    x = jnp.zeros((4, 4))
+    params, ms = model.init(jax.random.key(0), x)
+
+    def loss_fn(params, model_state, key, batch):
+        xb, yb = batch
+        out, kl, new_ms = model.apply(params, model_state, key, xb, train=True)
+        return LossOutput(loss=jnp.mean((out - yb) ** 2), kl=kl, model_state=new_ms)
+
+    method = map_method(loss_fn, optax.adam(0.01))
+    state = method.init(jax.random.key(1), params, ms)
+    batch = (x, jnp.zeros((4, 1)))
+    state, _ = jax.jit(method.update)(state, jax.random.key(2), batch)
+
+    with tempfile.TemporaryDirectory() as d:
+        run = os.path.join(d, "run")
+        ckpt.save_checkpoint(run, 1, state)
+        ckpt.save_checkpoint(run, 5, state.replace(step=jnp.int32(5)))
+        assert ckpt.latest_checkpoint_step(run) == 5
+        restored, step = ckpt.restore_checkpoint(run, state)
+        assert step == 5
+        assert int(restored.step) == 5
+        np.testing.assert_allclose(
+            np.asarray(restored.params["Dense_0"]["kernel"]),
+            np.asarray(state.params["Dense_0"]["kernel"]),
+        )
+        # final artifact
+        ckpt.save_final(run, "map", state)
+        final = ckpt.restore_final(run, "map", state)
+        assert int(final.step) == 1
+        # fresh dir: nothing to resume
+        _, none_step = ckpt.restore_checkpoint(os.path.join(d, "empty"), state)
+        assert none_step is None

@@ -15,22 +15,20 @@ from beyond_deep_ensembles_tpu.methods import (
 import optax
 
 # Target: posterior N(mu*, sigma*^2) per-dim induced by
-# U = N*loss + ||θ||²/2 with loss = mean over a fixed quadratic.
+# U = dataset_size * loss + ||θ||²/2 with dataset_size = 1 in all tests.
 MU = jnp.asarray([1.0, -0.5])
-PREC_LIK = 4.0  # likelihood precision per datapoint-average unit
-N = 100
+PREC_LIK = 4.0  # likelihood precision
 
 
 def quad_loss(params, model_state, key, batch):
     del key, batch
-    # N * loss = 0.5 * PREC_LIK * N * ||θ - MU||² / N per-loss convention:
     loss = 0.5 * PREC_LIK * jnp.sum((params["w"] - MU) ** 2)
     return LossOutput(loss=loss, model_state=model_state)
 
 
-# posterior precision = N*PREC_LIK + 1 (prior_std=1); mean = N*PREC_LIK*MU/prec
-POST_PREC = N * PREC_LIK + 1.0
-POST_MU = N * PREC_LIK * MU / POST_PREC
+# posterior precision = PREC_LIK + 1 (prior_std=1, dataset_size=1)
+POST_PREC = PREC_LIK + 1.0
+POST_MU = PREC_LIK * MU / POST_PREC
 POST_STD = POST_PREC**-0.5
 
 
@@ -65,7 +63,7 @@ def test_hmc_gaussian_moments():
             draws.append(np.asarray(state.params["w"]))
     draws = np.stack(draws)
     assert np.mean(accepts) > 0.5
-    np.testing.assert_allclose(draws.mean(0), np.asarray(POST_MU), atol=0.02)
+    np.testing.assert_allclose(draws.mean(0), np.asarray(POST_MU), atol=0.12)
     np.testing.assert_allclose(draws.std(0), POST_STD, rtol=0.4)
     # sample() returns ring-buffer entries
     p, _ = method.sample(state, jax.random.key(2), 0)
@@ -91,16 +89,18 @@ def test_sgld_gaussian_moments():
         if i >= 500:
             draws.append(np.asarray(state.params["w"]))
     draws = np.stack(draws)
-    np.testing.assert_allclose(draws.mean(0), np.asarray(POST_MU), atol=0.03)
+    np.testing.assert_allclose(draws.mean(0), np.asarray(POST_MU), atol=0.12)
     # SGMCMC std should be within a factor ~2 of the true posterior std
     assert 0.3 * POST_STD < draws.std(0).mean() < 3 * POST_STD
     assert int(state.n_samples) == 100
 
 
 def test_mfvi_gaussian():
+    # Adam with decaying LR: at the ELBO optimum the reparameterized
+    # gradient is noise-dominated and constant-LR Adam wobbles O(lr).
     method = mfvi_method(
         quad_loss,
-        optax.adam(0.02),
+        optax.adam(optax.cosine_decay_schedule(0.05, 2000)),
         dataset_size=1,
         prior_std=1.0,
         sigma_init=0.05,
@@ -108,9 +108,9 @@ def test_mfvi_gaussian():
     )
     state = method.init(jax.random.key(0), {"w": jnp.zeros(2)}, {})
     update = jax.jit(method.update)
-    for i in range(1500):
+    for i in range(2000):
         state, metrics = update(state, jax.random.fold_in(jax.random.key(1), i), None)
-    np.testing.assert_allclose(np.asarray(state.mean["w"]), np.asarray(POST_MU), atol=0.03)
+    np.testing.assert_allclose(np.asarray(state.mean["w"]), np.asarray(POST_MU), atol=0.06)
     learned_std = np.asarray(jax.nn.softplus(state.rho["w"]))
     np.testing.assert_allclose(learned_std, POST_STD, rtol=0.5)
     # posterior samples vary

@@ -19,13 +19,10 @@ def test_pairwise_sq_dists_xla():
     np.testing.assert_allclose(np.asarray(d2), ref, rtol=1e-4, atol=1e-4)
 
 
-def test_gram_pallas_interpret(monkeypatch):
-    from jax.experimental.pallas import tpu as pltpu
-
+def test_gram_pallas_interpret():
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(5, 700).astype(np.float32))
-    with pltpu.force_tpu_interpret_mode():
-        gram = _gram_pallas(x, tile_p=256)
+    gram = _gram_pallas(x, tile_p=256, interpret=True)
     ref = np.asarray(x) @ np.asarray(x).T
     np.testing.assert_allclose(np.asarray(gram), ref, rtol=1e-4, atol=1e-4)
 

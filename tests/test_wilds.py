@@ -1,0 +1,106 @@
+"""WILDS task layer: official metrics, data shapes, tiny end-to-end runs
+(camelyon DenseNet, civilcomments DistilBERT, poverty regression),
+last-layer variants, converters."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from beyond_deep_ensembles_tpu.data import wilds as W
+from beyond_deep_ensembles_tpu.experiments import wilds_task
+
+
+def test_macro_f1():
+    preds = np.array([0, 0, 1, 1, 2])
+    targets = np.array([0, 1, 1, 1, 2])
+    # class0: tp1 fp1 fn0 -> f1=2/3; class1: tp2 fp0 fn1 -> 0.8; class2: 1.0
+    np.testing.assert_allclose(
+        W.macro_f1(preds, targets, 3), np.mean([2 / 3, 0.8, 1.0]), rtol=1e-6
+    )
+
+
+def test_worst_group_accuracy():
+    preds = np.array([0, 1, 1, 0])
+    targets = np.array([0, 1, 0, 0])
+    meta = np.array([[1, 0], [1, 0], [1, 0], [0, 1]])[:, :2]
+    out = W.worst_group_accuracy(preds, targets, meta)
+    assert out["worst_group_acc"] <= out["accuracy"]
+    assert out["acc_male_y0"] == 0.5  # points 0 (correct) and 2 (wrong)
+
+
+def test_pearson_and_poverty_metric():
+    rng = np.random.RandomState(0)
+    t = rng.randn(100)
+    p = t + 0.1 * rng.randn(100)
+    assert W.pearson_r(p, t) > 0.97
+    urban = rng.randint(0, 2, 100)
+    out = W.worst_urban_rural_pearson(p, t, urban)
+    assert out["r_worst"] <= max(out["r_urban"], out["r_rural"]) + 1e-9
+
+
+def test_load_shapes():
+    for task in ["camelyon17", "civilcomments", "poverty"]:
+        x, y, meta = W.load_wilds(task, "test")
+        spec = W.TASKS[task]
+        assert x.shape[1:] == spec.input_shape
+        assert len(x) == len(y) == len(meta)
+    x, y, meta = W.load_wilds("camelyon17", "train", subsample=0.25)
+    assert len(x) == 512
+
+
+TINY = {
+    "tiny": True,
+    "epochs": 1,
+    "batch_size": 16,
+    "eval_batch_size": 32,
+    "eval_samples": 2,
+    "subsample": 64,
+    "test_subsample": 64,
+    "swag_start_epoch": 0,
+    "svgd_particles": 2,
+}
+
+
+@pytest.mark.parametrize("model", ["map", "swag_ll", "ll_ivon"])
+def test_camelyon_tiny_e2e(model):
+    res = wilds_task.run_single("camelyon17", {**TINY, "model": model})
+    assert "accuracy" in res and np.isfinite(res["accuracy"])
+    assert np.isfinite(res["ece"])
+
+
+def test_civilcomments_bert_tiny():
+    res = wilds_task.run_single("civilcomments", {**TINY, "model": "bbb"})
+    assert "worst_group_acc" in res
+    assert np.isfinite(res["avg_log_likelihood"])
+
+
+def test_poverty_regression_tiny():
+    res = wilds_task.run_single("poverty", {**TINY, "model": "map"})
+    assert "r_worst" in res and "avg_lml" in res
+    assert np.isfinite(res["mse"])
+
+
+def test_bbb_converter():
+    from beyond_deep_ensembles_tpu.models.mlp import RegressionMLP
+    from beyond_deep_ensembles_tpu.nn.base import Model
+    from beyond_deep_ensembles_tpu.nn.convert import init_bbb_from_plain
+
+    x = jnp.zeros((2, 4))
+    plain = Model(RegressionMLP(hidden=8, dense_kind="plain"))
+    bbb = Model(RegressionMLP(hidden=8, dense_kind="bbb"))
+    p_plain, _ = plain.init(jax.random.key(0), x)
+    p_bbb, _ = bbb.init(jax.random.key(1), x)
+    merged = init_bbb_from_plain(p_bbb, p_plain)
+    flat_plain = jax.tree_util.tree_flatten_with_path(p_plain)[0]
+    # the Dense kernels became the gaussian means
+    kern = [l for pth, l in flat_plain if "kernel" in str(pth[-1])]
+    flat_merged = {
+        str(tuple(str(k) for k in pth)): l
+        for pth, l in jax.tree_util.tree_flatten_with_path(merged)[0]
+    }
+    matches = [
+        np.allclose(np.asarray(v), np.asarray(kern[0]))
+        for k, v in flat_merged.items()
+        if "kernel__gmean" in k
+    ]
+    assert any(matches)
