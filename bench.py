@@ -34,7 +34,13 @@ def main():
     from beyond_deep_ensembles_tpu.nn.base import Model
 
     model = Model(
-        ResNet20(classes=10, activation="swish", norm="frn", conv_kind="bbb")
+        ResNet20(
+            classes=10,
+            activation="swish",
+            norm="frn",
+            conv_kind="bbb",
+            dtype=jnp.bfloat16,  # bf16 compute, fp32 params/accumulation
+        )
     )
 
     def loss_fn(params, model_state, key, batch):

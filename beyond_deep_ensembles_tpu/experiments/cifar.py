@@ -22,6 +22,7 @@ import numpy as np
 import optax
 
 from ..data import cifar as cifar_data
+from ..data.native_loader import PrefetchLoader
 from ..evals.classification import EvalResult, analyze_output, bayesian_model_average
 from ..methods import (
     GaussianPrior,
@@ -299,12 +300,12 @@ def train(
     cifar.py:131-186)."""
     method, state = built.method, built.state
     update = jax.jit(method.update)
-    rng = np.random.RandomState(config["seed"])
     key = jax.random.key(config["seed"])
+    loader = PrefetchLoader((x, y), config["batch_size"], seed=config["seed"])
     step = 0
     for epoch in range(config["epochs"]):
         losses = []
-        for xb, yb in cifar_data.batch_iter(x, y, config["batch_size"], rng):
+        for xb, yb in loader.epoch(epoch):
             step += 1
             state, metrics = update(
                 state, jax.random.fold_in(key, step), (jnp.asarray(xb), jnp.asarray(yb))

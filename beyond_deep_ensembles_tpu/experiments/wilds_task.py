@@ -27,6 +27,7 @@ import numpy as np
 import optax
 
 from ..data import wilds as wilds_data
+from ..data.native_loader import PrefetchLoader
 from ..evals.classification import EvalResult, analyze_output, bayesian_model_average
 from ..evals.regression import RegressionResults, nll_loss
 from ..methods import (
@@ -189,9 +190,25 @@ class BuiltExperiment:
 
 
 def _tx(config):
-    return optax.chain(
+    base = optax.chain(
         optax.add_decayed_weights(config.get("weight_decay", 0.0)),
         optax.sgd(config["lr"], momentum=config.get("momentum", 0.9)),
+    )
+    if config.get("train_all_layers", True):
+        return base
+
+    # Freeze the pretrained encoder; train heads only (reference
+    # ``train_all_layers`` flag, civilcomments/models.py:165-176).
+    def labels(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "frozen"
+            if any(getattr(p, "key", "") == "bert" for p in path)
+            else "train",
+            params,
+        )
+
+    return optax.multi_transform(
+        {"train": base, "frozen": optax.set_to_zero()}, labels
     )
 
 
@@ -374,21 +391,17 @@ def _make_sngp(task: str, config: dict) -> Model:
 def train(built: BuiltExperiment, config: dict, x, y, log=None):
     method, state = built.method, built.state
     update = jax.jit(method.update)
-    rng = np.random.RandomState(config["seed"])
     key = jax.random.key(config["seed"])
-    bs = config["batch_size"]
+    loader = PrefetchLoader((x, y), config["batch_size"], seed=config["seed"])
     step = 0
-    n = (x.shape[0] // bs) * bs
     for epoch in range(config["epochs"]):
-        order = rng.permutation(x.shape[0])[:n]
         losses = []
-        for start in range(0, n, bs):
-            sel = order[start : start + bs]
+        for xb, yb in loader.epoch(epoch):
             step += 1
             state, metrics = update(
                 state,
                 jax.random.fold_in(key, step),
-                (jnp.asarray(x[sel]), jnp.asarray(y[sel])),
+                (jnp.asarray(xb), jnp.asarray(yb)),
             )
             losses.append(metrics["loss"])
         state = method.finalize_epoch(state)

@@ -4,3 +4,6 @@ so every dense/conv can be plain, BBB-variational, or Rank-1
 from .layers import DenseFactory, ConvFactory, make_dense, make_conv  # noqa: F401
 from .mlp import RegressionMLP  # noqa: F401
 from .resnet import ResNet18, ResNet20, ResNet50, PreResNet20  # noqa: F401
+from .densenet import DenseNet, DenseNetClassifier  # noqa: F401
+from .bert import BertClassifier, DistilBertConfig  # noqa: F401
+from .tiramisu import MidasTiramisu  # noqa: F401

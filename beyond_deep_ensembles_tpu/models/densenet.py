@@ -20,6 +20,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..nn.dropout import FixableDropout
+from ..nn.norm import StaticBatchNorm
 from .layers import call_layer, make_conv, make_dense
 
 
@@ -31,7 +32,7 @@ class _BN(nn.Module):
         if self.track_running_stats:
             return nn.BatchNorm(use_running_average=not train)(x)
         # static BN: batch statistics always (reference util.py:204-218)
-        return nn.BatchNorm(use_running_average=False)(x)
+        return StaticBatchNorm()(x, train=train)
 
 
 class DenseLayer(nn.Module):

@@ -23,7 +23,7 @@ def make_dense(
     kind: str, features: int, use_bias: bool = True, components: int = 1, **kwargs
 ) -> nn.Module:
     if kind == "plain":
-        return nn.Dense(features, use_bias=use_bias)
+        return nn.Dense(features, use_bias=use_bias, dtype=kwargs.get("dtype"))
     if kind == "bbb":
         return BBBDense(features, use_bias=use_bias, **kwargs)
     if kind == "rank1":
@@ -46,7 +46,10 @@ def make_conv(
     if kind == "plain":
         pad = [(padding, padding)] * 2 if isinstance(padding, int) else padding
         s = (strides, strides) if isinstance(strides, int) else tuple(strides)
-        return nn.Conv(features, kernel_size, strides=s, padding=pad, use_bias=use_bias)
+        return nn.Conv(
+            features, kernel_size, strides=s, padding=pad, use_bias=use_bias,
+            dtype=kwargs.get("dtype"),
+        )
     if kind == "bbb":
         return BBBConv(
             features, kernel_size, strides=strides, padding=padding, use_bias=use_bias, **kwargs

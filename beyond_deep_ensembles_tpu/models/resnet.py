@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..nn.dropout import FixableDropout
 from ..nn.frn import FilterResponseNorm, VariationalFilterResponseNorm
+from ..nn.norm import StaticBatchNorm
 from .layers import call_layer, make_conv, make_dense
 
 
@@ -48,7 +49,7 @@ class _Norm(nn.Module):
     def __call__(self, x, train: bool = True):
         if self.kind == "batch_static":
             # track_running_stats=False: batch statistics at eval too.
-            return nn.BatchNorm(use_running_average=False)(x)
+            return StaticBatchNorm()(x, train=train)
         if self.kind == "frn":
             return FilterResponseNorm()(x, train=train)
         if self.kind == "frn_variational":
@@ -74,6 +75,7 @@ class BasicBlock(nn.Module):
     dropout_p: Optional[float] = None
     conv_kind: str = "plain"
     components: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
@@ -86,6 +88,7 @@ class BasicBlock(nn.Module):
             return h
 
         def conv(h, features, kernel, stride, padding, use_bias=True):
+            kw = {"dtype": self.dtype} if self.conv_kind in ("plain", "bbb") else {}
             layer = make_conv(
                 self.conv_kind,
                 features,
@@ -94,6 +97,7 @@ class BasicBlock(nn.Module):
                 padding=padding,
                 use_bias=use_bias,
                 components=self.components,
+                **kw,
             )
             return call_layer(layer, h, train, component)
 
@@ -230,11 +234,13 @@ class ResNet20(nn.Module):
     conv_kind: str = "plain"
     head_kind: Optional[str] = None  # defaults to conv_kind
     components: int = 1
+    dtype: jnp.dtype = jnp.float32  # compute dtype for conv/dense (bf16 on TPU)
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
+        kw = {"dtype": self.dtype} if self.conv_kind in ("plain", "bbb") else {}
         stem = make_conv(
-            self.conv_kind, 16, (3, 3), strides=1, padding=1, components=self.components
+            self.conv_kind, 16, (3, 3), strides=1, padding=1, components=self.components, **kw
         )
         h = call_layer(stem, x, train, component)
         if self.dropout_p is not None:
@@ -250,6 +256,7 @@ class ResNet20(nn.Module):
                 self.dropout_p,
                 self.conv_kind,
                 self.components,
+                dtype=self.dtype,
             )(h, train=train, component=component)
 
         in_size = x.shape[1]
@@ -270,6 +277,7 @@ class PreResNet20(nn.Module):
     conv_kind: str = "plain"
     head_kind: Optional[str] = None  # defaults to conv_kind
     components: int = 1
+    dtype: jnp.dtype = jnp.float32  # compute dtype for conv/dense (bf16 on TPU)
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
@@ -311,6 +319,7 @@ class ResNet18(nn.Module):
     conv_kind: str = "plain"
     head_kind: Optional[str] = None  # defaults to conv_kind
     components: int = 1
+    dtype: jnp.dtype = jnp.float32  # compute dtype for conv/dense (bf16 on TPU)
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
@@ -349,6 +358,7 @@ class ResNet50(nn.Module):
     conv_kind: str = "plain"
     head_kind: Optional[str] = None  # defaults to conv_kind
     components: int = 1
+    dtype: jnp.dtype = jnp.float32  # compute dtype for conv/dense (bf16 on TPU)
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
 
     @nn.compact

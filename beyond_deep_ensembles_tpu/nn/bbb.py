@@ -61,6 +61,11 @@ class BBBDense(nn.Module):
             raise ValueError(f"invalid sampling mode {self.sampling!r}")
 
         # One stacked matmul for (mean, variance) planes: [2,B,in]@[2,in,out].
+        # Accumulation dtype: fp32 output for fp32 compute; for bf16
+        # compute the MXU still accumulates in fp32 internally and we
+        # store bf16 (mixed preferred_element_type breaks the transposed
+        # matmul dtypes in the backward pass).
+        acc_t = jnp.float32 if self.dtype == jnp.float32 else self.dtype
         x2 = jnp.maximum(x * x, VAR_CLAMP)
         w_var = jnp.maximum(w_std * w_std, VAR_CLAMP)
         lhs = jnp.stack([x, x2])
@@ -69,9 +74,10 @@ class BBBDense(nn.Module):
             lhs,
             rhs,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_t,
         )
-        act_mean, act_var = planes[0], planes[1]
+        act_mean = planes[0].astype(jnp.float32)
+        act_var = planes[1].astype(jnp.float32)
         if self.use_bias:
             act_mean = act_mean + b_mean
             act_var = act_var + jnp.maximum(b_std * b_std, VAR_CLAMP)
@@ -111,6 +117,8 @@ class BBBConv(nn.Module):
 
         x = x.astype(self.dtype)
 
+        acc_t = jnp.float32 if self.dtype == jnp.float32 else self.dtype
+
         def conv(lhs, rhs):
             return jax.lax.conv_general_dilated(
                 lhs,
@@ -118,8 +126,8 @@ class BBBConv(nn.Module):
                 window_strides=strides,
                 padding=padding,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
-            )
+                preferred_element_type=acc_t,
+            ).astype(jnp.float32)
 
         act_mean = conv(x, w_mean)
         act_var = conv(jnp.maximum(x * x, VAR_CLAMP), jnp.maximum(w_std * w_std, VAR_CLAMP))

@@ -32,8 +32,18 @@ def _flat(params):
 def init_bbb_from_plain(bbb_params, plain_params):
     """Copy trained plain weights into the Gaussian means of a BBB model
     built from the same architecture (reference make_module_bbb seeds
-    ``weight.mean`` from ``m.weight.data``, bbb_layers.py:289-297)."""
+    ``weight.mean`` from ``m.weight.data``, bbb_layers.py:289-297).
+
+    Matching: exact path match for untouched leaves; for ``__gmean``
+    leaves, the plain tree's same-base-name leaves (kernel/bias) are
+    consumed IN TRAVERSAL ORDER with shape checks — BBB layers live in
+    differently-named scopes (``BBBDense_0`` vs ``Dense_0``) so paths
+    cannot match directly."""
     plain = _flat(plain_params)
+    # base name -> ordered list of (path, leaf) not already path-matched
+    by_base: dict = {}
+    for names, leaf in plain.items():
+        by_base.setdefault(names[-1], []).append((names, leaf))
 
     def fill(path, leaf):
         names = tuple(getattr(p, "key", str(p)) for p in path)
@@ -43,6 +53,10 @@ def init_bbb_from_plain(bbb_params, plain_params):
             src = names[:-1] + (base,)
             if src in plain and plain[src].shape == leaf.shape:
                 return jnp.asarray(plain[src], leaf.dtype)
+            for i, (cand_path, cand) in enumerate(by_base.get(base, [])):
+                if cand.shape == leaf.shape:
+                    by_base[base].pop(i)
+                    return jnp.asarray(cand, leaf.dtype)
         elif names in plain and plain[names].shape == leaf.shape:
             return jnp.asarray(plain[names], leaf.dtype)
         return leaf

@@ -45,3 +45,42 @@ def epoch_schedule_to_step(factor_fn, steps_per_epoch: int, base_lr: float):
         return base_lr * factor_fn(step // steps_per_epoch)
 
     return schedule
+
+
+def cosine_with_warmup(base_lr: float, warmup_steps: int, total_steps: int):
+    """Linear warmup then cosine decay, stepped PER BATCH — the RxRx1 /
+    HF-transformers schedule (reference rxrx1.py:128-170)."""
+
+    def schedule(step):
+        warm = base_lr * jnp.minimum(step, warmup_steps) / jnp.maximum(warmup_steps, 1)
+        progress = jnp.clip(
+            (step - warmup_steps) / jnp.maximum(total_steps - warmup_steps, 1), 0.0, 1.0
+        )
+        decay = base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * progress))
+        return jnp.where(step < warmup_steps, warm, decay)
+
+    return schedule
+
+
+def cyclical_cosine(base_lr: float, cycle_steps: int, burnin_steps: int = 0):
+    """Constant during burn-in, then cyclical cosine restarts — the
+    cSG-MCMC schedule (reference bnn_hmc/utils/optim_utils.py:44-68)."""
+
+    def schedule(step):
+        t = jnp.maximum(step - burnin_steps, 0) % cycle_steps
+        factor = 0.5 * (1.0 + jnp.cos(jnp.pi * t / cycle_steps))
+        return jnp.where(step < burnin_steps, base_lr, base_lr * factor)
+
+    return schedule
+
+
+def constant_with_cosine_burnin(init_lr: float, final_lr: float, burnin_steps: int):
+    """Cosine ramp from init to final over burn-in, then constant
+    (reference bnn_hmc/utils/optim_utils.py:30-42)."""
+
+    def schedule(step):
+        t = jnp.clip(step / jnp.maximum(burnin_steps, 1), 0.0, 1.0)
+        coef = 0.5 * (1.0 + jnp.cos(jnp.pi * t))
+        return coef * init_lr + (1 - coef) * final_lr
+
+    return schedule
