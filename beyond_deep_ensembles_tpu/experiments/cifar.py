@@ -311,9 +311,12 @@ def train(
                 state, jax.random.fold_in(key, step), (jnp.asarray(xb), jnp.asarray(yb))
             )
             losses.append(metrics["loss"])
+        epoch_loss = float(jnp.mean(jnp.stack(losses)))
+        if not np.isfinite(epoch_loss):
+            raise RuntimeError("Diverged")  # reference poverty.py:137-141
         state = method.finalize_epoch(state)
         if log:
-            log(f"epoch {epoch}: loss {float(jnp.mean(jnp.stack(losses))):.4f}")
+            log(f"epoch {epoch}: loss {epoch_loss:.4f}")
     built.state = state
     return built
 

@@ -338,3 +338,78 @@ def grid_search(config: dict, ranges: dict, gap: Optional[int] = None, log=None)
         if ll > best_ll:
             best_ll, best = ll, dict(zip(keys, combo))
     return {**config, **(best or {})}
+
+
+# Per-algorithm HPO grids (reference uci.py:168-291; knob names mapped to
+# our flat config keys).
+HPO_GRIDS = {
+    "map": {"epochs": [40, 100], "lr": [0.01, 0.001], "weight_decay": [1e-4, 1e-5]},
+    "laplace": {"epochs": [40, 100], "lr": [0.01, 0.001], "weight_decay": [1e-4, 1e-5]},
+    "mcd": {
+        "epochs": [40, 100],
+        "lr": [0.01, 0.001],
+        "weight_decay": [1e-4, 1e-5],
+        "dropout_p": [0.2, 0.1, 0.05],
+    },
+    "swag": {
+        "epochs": [60, 100, 150],
+        "lr": [0.01, 0.001],
+        "weight_decay": [1e-4, 1e-5],
+        "swag_start": [0.5, 0.75, 0.9],
+    },
+    "bbb": {
+        "epochs": [200],
+        "lr": [0.01, 0.001],
+        "prior_std": [0.1, 1.0, 10.0],
+        "kl_rescaling": [0.2, 0.5],
+    },
+    "bbb_fixed_kl": {"epochs": [200], "lr": [0.01, 0.001], "prior_std": [0.1, 1.0, 10.0]},
+    "rank1": {"epochs": [100, 200], "lr": [0.01, 0.001], "l2_scale": [1e-4, 1e-5]},
+    "svgd": {"epochs": [40, 100], "lr": [0.01, 0.001], "svgd_l2": [1e-4, 1e-5]},
+    "ivon": {
+        "epochs": [40, 100, 200],
+        "ivon_lr": [0.01],
+        "ivon_prior_prec": [10.0, 100.0, 200.0],
+    },
+}
+
+
+def run(config: dict, log=None) -> dict:
+    """Top-level UCI flow (reference uci.py:49-80): optional HPO on the
+    validation split, then the standard split over ``standard_split_reps``
+    seeds and/or one repetition per gap dimension."""
+    config = {**DEFAULT_CONFIG, **config}
+    all_results = {}
+
+    def result_dict(res):
+        return {
+            "avg_ll": float(res.average_log_likelihood),
+            "avg_lml": float(res.average_lml),
+            "mse": float(res.mse_of_means),
+            "qce": float(res.qce),
+            "sqce": float(res.sqce),
+        }
+
+    def tuned(gap):
+        if config.get("hpo"):
+            return grid_search(config, HPO_GRIDS[config["model"]], gap=gap, log=log)
+        return config
+
+    if config.get("plain", True):
+        cfg = tuned(None)
+        reps = []
+        for rep in range(config.get("standard_split_reps", 1)):
+            res = run_single({**cfg, "seed": rep}, log=log)
+            reps.append(result_dict(res))
+        all_results["plain"] = reps
+
+    if config.get("gap", False):
+        ds = UCIDataset(config["dataset"])
+        gap_results = []
+        for gap_split in range(ds.in_dim):
+            cfg = tuned(gap_split)
+            res = run_single({**cfg, "seed": gap_split}, gap=gap_split, log=log)
+            gap_results.append({"gap_split": gap_split, "result": result_dict(res)})
+        all_results["gap_results"] = gap_results
+
+    return all_results

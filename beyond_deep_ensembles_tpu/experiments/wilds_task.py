@@ -190,9 +190,26 @@ class BuiltExperiment:
 
 
 def _tx(config):
+    """Base optimizer with the per-task LR schedules the reference wires:
+    iWildCam ExponentialLR (iwildcam.py), RxRx1 cosine-with-warmup stepped
+    per batch (rxrx1.py:128-170)."""
+    from ..utils.schedules import cosine_with_warmup
+
+    schedule = config.get("lr_schedule_kind", "none")
+    lr = config["lr"]
+    if schedule == "exponential":
+        lr = optax.exponential_decay(
+            lr,
+            transition_steps=config.get("steps_per_epoch", 1000),
+            decay_rate=config.get("lr_decay_rate", 0.96),
+        )
+    elif schedule == "cosine_warmup":
+        total = config.get("steps_per_epoch", 1000) * config["epochs"]
+        lr = cosine_with_warmup(lr, config.get("warmup_steps", total // 20), total)
+
     base = optax.chain(
         optax.add_decayed_weights(config.get("weight_decay", 0.0)),
-        optax.sgd(config["lr"], momentum=config.get("momentum", 0.9)),
+        optax.sgd(lr, momentum=config.get("momentum", 0.9)),
     )
     if config.get("train_all_layers", True):
         return base
@@ -404,9 +421,12 @@ def train(built: BuiltExperiment, config: dict, x, y, log=None):
                 (jnp.asarray(xb), jnp.asarray(yb)),
             )
             losses.append(metrics["loss"])
+        epoch_loss = float(jnp.mean(jnp.stack(losses)))
+        if not np.isfinite(epoch_loss):
+            raise RuntimeError("Diverged")  # reference civil.py:156-160
         state = method.finalize_epoch(state)
         if log:
-            log(f"epoch {epoch}: loss {float(jnp.mean(jnp.stack(losses))):.4f}")
+            log(f"epoch {epoch}: loss {epoch_loss:.4f}")
     built.state = state
     return built
 
@@ -470,6 +490,7 @@ def run_single(task: str, config: dict, log=None) -> dict:
         x, xt = x[:, :32, :32, :], xt[:, :32, :32, :]
     config["dataset_size"] = x.shape[0]
     steps_per_epoch = max(1, x.shape[0] // config["batch_size"])
+    config["steps_per_epoch"] = steps_per_epoch
 
     built = build(task, config, jax.random.key(config["seed"]), steps_per_epoch)
     built = train(built, config, x, y, log=log)

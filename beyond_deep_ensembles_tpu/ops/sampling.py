@@ -1,0 +1,122 @@
+"""Fused Gaussian-sampling Pallas kernel.
+
+The BBB/Rank-1 local-reparameterization path ends in
+``out = mean + sqrt(var) * eps`` with fresh standard-normal noise per
+activation (reference bbb_layers.py:76-80). Under plain XLA the noise
+comes from threefry (expensive lane-serial bit mixing) followed by fused
+elementwise math. This kernel draws bits from the TPU's hardware PRNG
+(``pltpu.prng_random_bits``) and applies Box-Muller + scale/shift in one
+VMEM pass — one read of (mean, var), one write of the sample, no
+threefry tax.
+
+Note the random STREAM differs from ``jax.random.normal`` (hardware PRNG
+seeded per kernel invocation + grid position); distributionally both are
+iid N(0,1), which is all the algorithms require. Differentiable with the
+standard reparameterization gradient via custom VJP (noise constant).
+
+MEASURED (v5e, 8.4M elements): XLA's threefry + fused elementwise runs at
+~2.4 ms while this kernel pays ~4x more in pad/reshape traffic, and
+zeroing the noise entirely does NOT speed up the BBB ResNet-20 step —
+RNG is not the bottleneck at benchmark sizes. The kernel therefore stays
+OPT-IN (it wins only when callers keep data 2-D and lane-aligned);
+layers default to the XLA path.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_COLS = 512
+_TILE_ROWS = 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _sample_kernel(seed_ref, mean_ref, var_ref, out_ref):
+    # Distinct stream per grid tile.
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    shape = mean_ref.shape
+    bits1 = pltpu.prng_random_bits(shape)
+    bits2 = pltpu.prng_random_bits(shape)
+    # int32 bits -> uniform in (0, 1].
+    u1 = (bits1.astype(jnp.float32) + jnp.float32(2.0**31) + 1.0) * jnp.float32(2.0**-32)
+    u2 = (bits2.astype(jnp.float32) + jnp.float32(2.0**31)) * jnp.float32(2.0**-32)
+    # Box-Muller.
+    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * math.pi * u2)
+    out_ref[:] = (
+        mean_ref[:].astype(jnp.float32) + jnp.sqrt(var_ref[:].astype(jnp.float32)) * z
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def _sample_2d(seed, m2, v2, tile_rows: int, interpret: bool):
+    rows, cols = m2.shape
+    grid = (rows // tile_rows,)
+    return pl.pallas_call(
+        _sample_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, cols), m2.dtype),
+        interpret=interpret,
+    )(seed, m2, v2)
+
+
+def fused_gaussian_sample(
+    key: jax.Array, mean: jax.Array, var: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """mean + sqrt(var) * N(0,1), fused on TPU; jax.random.normal
+    elsewhere."""
+    if jax.default_backend() != "tpu" and not interpret:
+        eps = jax.random.normal(key, mean.shape, jnp.float32)
+        return (
+            mean.astype(jnp.float32) + jnp.sqrt(var.astype(jnp.float32)) * eps
+        ).astype(mean.dtype)
+
+    seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
+
+    @jax.custom_vjp
+    def _op(mean, var):
+        n = mean.size
+        rows = _round_up(pl.cdiv(n, _COLS), 8)
+        tile = min(_TILE_ROWS, rows)
+        rows = _round_up(rows, tile)
+        pad = rows * _COLS - n
+        m2 = jnp.pad(mean.reshape(-1).astype(jnp.float32), (0, pad)).reshape(rows, _COLS)
+        v2 = jnp.pad(
+            var.reshape(-1).astype(jnp.float32), (0, pad), constant_values=1.0
+        ).reshape(rows, _COLS)
+        out = _sample_2d(seed, m2, v2, tile, interpret)
+        return out.reshape(-1)[:n].reshape(mean.shape).astype(mean.dtype)
+
+    def _fwd(mean, var):
+        out = _op(mean, var)
+        return out, (mean, var, out)
+
+    def _bwd(res, g):
+        mean, var, out = res
+        z = (out.astype(jnp.float32) - mean.astype(jnp.float32)) / jnp.sqrt(
+            var.astype(jnp.float32)
+        )
+        dmean = g
+        # d(out)/d(var) = z / (2 sqrt(var))
+        dvar = (
+            g.astype(jnp.float32) * z * 0.5 / jnp.sqrt(var.astype(jnp.float32))
+        ).astype(var.dtype)
+        return dmean.astype(mean.dtype), dvar
+
+    _op.defvjp(_fwd, _bwd)
+    return _op(mean, var)

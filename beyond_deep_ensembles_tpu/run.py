@@ -33,14 +33,7 @@ def run_task(task: str, params: dict, log) -> dict:
     if task == "uci":
         from .experiments import uci
 
-        res = uci.run_single(params, log=log.info)
-        return {
-            "avg_ll": float(res.average_log_likelihood),
-            "avg_lml": float(res.average_lml),
-            "mse": float(res.mse_of_means),
-            "qce": float(res.qce),
-            "sqce": float(res.sqce),
-        }
+        return uci.run(params, log=log.info)
     if task == "cifar":
         from .experiments import cifar
 
