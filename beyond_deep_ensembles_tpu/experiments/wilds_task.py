@@ -319,10 +319,26 @@ def build(task: str, config: dict, key: jax.Array, steps_per_epoch: int) -> Buil
         inner_name = name.replace("_ll", "").replace("ll_", "")
         head_kind = "bbb" if inner_name == "bbb" else "plain"
         model = _make_backbone(task, config, "plain", head_kind=head_kind)
+        mask_kwargs = {}
+        if spec.text:
+            # BERT "last layer" = the whole 2-layer classifier head
+            # (reference passes classifier.parameters() to the last-layer
+            # optimizer, civilcomments/models.py).
+            def bert_head_mask(params):
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, _: not any(
+                        getattr(p, "key", None) == "bert" for p in path
+                    ),
+                    params,
+                )
+
+            mask_kwargs["mask_fn"] = bert_head_mask
         inner = last_layer_method(
             _loss_fn_for(model, regression),
             inner_factory_for(inner_name),
             backbone_tx=_tx(config),
+            head_particles=config["svgd_particles"] if inner_name == "svgd" else 0,
+            **mask_kwargs,
         )
     elif name == "sngp":
         model = _make_sngp(task, config)
@@ -390,14 +406,36 @@ def _make_sngp(task: str, config: dict) -> Model:
         return Model(BertSNGP())
 
     class ImageSNGP(nn.Module):
+        """Spectral-normalized featurizer (penultimate pooled features)
+        + SNGP head — the reference cuts the backbone head and wraps the
+        trunk with spectral norm (cifar/models.py:85-99, same pattern on
+        the WILDS tasks)."""
+
         @nn.compact
         def __call__(self, x, train: bool = True, n_samples: int = 1):
-            backbone = _make_backbone(task, config, "spectral")
-            feats = backbone.module(x, train=train)
-            # classifier output doubles as features here; project via the
-            # SNGP head on the penultimate representation would require a
-            # feature cut — we use the logits-dim features (documented
-            # simplification; refine with a featurizer cut).
+            tiny = config.get("tiny", False)
+            if task in ("camelyon17", "fmow"):
+                from ..models.densenet import DenseNet
+
+                feats = DenseNet(
+                    growth_rate=4 if tiny else 32,
+                    block_config=(2, 2) if tiny else (6, 12, 24, 16),
+                    init_features=8 if tiny else 64,
+                    bn_size=2 if tiny else 4,
+                    conv_kind="spectral",
+                    track_running_stats=not config.get("static_bn", True),
+                )(x, train=train)
+            elif task == "poverty":
+                feats = ResNet18(
+                    classes=1, conv_kind="spectral", features_only=True
+                )(x, train=train)
+            else:
+                feats = ResNet50(
+                    classes=spec.classes,
+                    conv_kind="spectral",
+                    features_only=True,
+                    stage_sizes=(1, 1) if tiny else (3, 4, 6, 3),
+                )(x, train=train)
             return SNGPHead(outputs=spec.classes, **sngp_kwargs)(
                 feats, train=train, n_samples=n_samples
             )

@@ -36,6 +36,11 @@ class LaplaceState(struct.PyTreeNode):
     scale_tril: jax.Array  # [D, D] Cholesky of the posterior covariance
     diag_scale: jax.Array  # [D] for hessian='diag'
     prior_prec: jax.Array
+    # KFAC factors for hessian='kron' (eigenbasis of A [(Din+1)] and B [O])
+    kron_ua: jax.Array = struct.field(default_factory=lambda: jnp.zeros((0, 0)))
+    kron_ub: jax.Array = struct.field(default_factory=lambda: jnp.zeros((0, 0)))
+    kron_sa: jax.Array = struct.field(default_factory=lambda: jnp.zeros((0,)))
+    kron_sb: jax.Array = struct.field(default_factory=lambda: jnp.zeros((0,)))
     # chassis fields so generic code can treat it like MethodState
     opt_state: any = None
     step: jax.Array = struct.field(default_factory=lambda: jnp.int32(0))
@@ -96,8 +101,8 @@ def laplace_method(
     """model: nn.base.Model. mean_output(params, model_state, x) -> [B, O]
     network output the GGN linearizes (defaults to the model forward,
     taking channel 0 of GaussLayer pairs for regression)."""
-    if hessian not in ("full", "diag"):
-        raise NotImplementedError(f"hessian={hessian!r} (kron lands with the KFAC pass)")
+    if hessian not in ("full", "diag", "kron"):
+        raise NotImplementedError(f"hessian={hessian!r}")
 
     def default_mean_output(params, model_state, x):
         out, _, _ = model.apply(params, model_state, None, x, train=False, mutable_state=False)
@@ -155,22 +160,142 @@ def laplace_method(
             loglik = jnp.sum(jnp.take_along_axis(lp, y.reshape(-1, 1), axis=1))
         return h, loglik, ll_vec, d
 
+    def _head_leaves(params, mask):
+        """(kernel_path_idx, bias_path_idx) among masked leaves: the head
+        Dense kernel [Din, O] and optional bias [O]."""
+        flat_mask = jax.tree.leaves(mask)
+        flat_params = jax.tree.leaves(params)
+        k_idx = b_idx = None
+        for i, (p, m) in enumerate(zip(flat_params, flat_mask)):
+            if not m:
+                continue
+            if p.ndim == 2:
+                k_idx = i
+            elif p.ndim == 1:
+                b_idx = i
+        if k_idx is None:
+            raise ValueError("kron Laplace needs a Dense head (2-D kernel)")
+        return k_idx, b_idx
+
+    def _fit_kron(state: MethodState, batches):
+        """KFAC last-layer fit: H ~= A (x) B with A = sum phi~ phi~^T over
+        the data and B = mean output Hessian — exact Kronecker structure
+        for a linear head (laplace-torch's kron option,
+        reference laplace_approx.py:9)."""
+        params, model_state = state.params, state.model_state
+        mask = last_layer_mask(params)
+        flat_params = jax.tree.leaves(params)
+        treedef = jax.tree.structure(params)
+        k_idx, b_idx = _head_leaves(params, mask)
+        kernel = flat_params[k_idx]
+        din, n_out = kernel.shape
+
+        def with_kernel(kernel_leaf):
+            leaves = list(flat_params)
+            leaves[k_idx] = kernel_leaf
+            return jax.tree.unflatten(treedef, leaves)
+
+        @jax.jit
+        def batch_stats(x, y):
+            logits = out_fn(params, model_state, x)
+
+            def f0(k):
+                return out_fn(with_kernel(k), model_state, x)[:, 0]
+
+            jac = jax.jacrev(f0)(kernel)  # [B, Din, O]; phi in column 0
+            phi = jac[:, :, 0]
+            phi_t = jnp.concatenate([phi, jnp.ones((phi.shape[0], 1))], axis=1)
+            a = phi_t.T @ phi_t
+            if regression:
+                b = jnp.eye(n_out) / sigma_noise**2 * x.shape[0]
+                resid = logits - y.reshape(logits.shape)
+                loglik = jnp.sum(
+                    -0.5 * (resid / sigma_noise) ** 2
+                    - math.log(sigma_noise)
+                    - 0.5 * math.log(2 * math.pi)
+                )
+            else:
+                p = jax.nn.softmax(logits, axis=-1)
+                b = jnp.einsum("bo,oq->oq", p, jnp.eye(n_out)) - p.T @ p
+                lp = jax.nn.log_softmax(logits, axis=-1)
+                loglik = jnp.sum(jnp.take_along_axis(lp, y.reshape(-1, 1), axis=1))
+            return a, b, loglik
+
+        a_tot, b_tot, loglik, n_total = None, None, 0.0, 0
+        for xb, yb in batches:
+            a, b, ll = batch_stats(jnp.asarray(xb), jnp.asarray(yb))
+            a_tot = a if a_tot is None else a_tot + a
+            b_tot = b if b_tot is None else b_tot + b
+            loglik += float(ll)
+            n_total += len(xb)
+        b_hat = b_tot / n_total  # expectation factor
+
+        sa, ua = jnp.linalg.eigh(a_tot)
+        sb, ub = jnp.linalg.eigh(b_hat)
+        sa = jnp.maximum(sa, 0.0)
+        sb = jnp.maximum(sb, 0.0)
+
+        bias = flat_params[b_idx] if b_idx is not None else jnp.zeros((n_out,))
+        theta = jnp.concatenate([kernel.reshape(-1), bias.reshape(-1)])
+        d_total = (din + 1) * n_out
+
+        def marglik(pp):
+            logdet = jnp.sum(jnp.log(sa[:, None] * sb[None, :] + pp))
+            return loglik - 0.5 * (
+                pp * jnp.sum(theta**2) + logdet - d_total * jnp.log(pp)
+            )
+
+        candidates = jnp.logspace(-4, 4, 33)
+        best_pp = float(candidates[int(jnp.argmax(jax.vmap(marglik)(candidates)))])
+
+        ll_leaves = [p for p, m in zip(flat_params, jax.tree.leaves(mask)) if m]
+        return LaplaceState(
+            params=params,
+            model_state=model_state,
+            ll_mean=ravel(ll_leaves),
+            scale_tril=jnp.zeros((0, 0)),
+            diag_scale=jnp.zeros((0,)),
+            prior_prec=jnp.float32(best_pp),
+            kron_ua=ua,
+            kron_ub=ub,
+            kron_sa=sa,
+            kron_sb=sb,
+        )
+
+    def _sample_kron(state: LaplaceState, key):
+        flat_params = jax.tree.leaves(state.params)
+        treedef = jax.tree.structure(state.params)
+        mask = last_layer_mask(state.params)
+        k_idx, b_idx = _head_leaves(state.params, mask)
+        kernel = flat_params[k_idx]
+        din, n_out = kernel.shape
+        z = jax.random.normal(key, (din + 1, n_out))
+        s = state.kron_sa[:, None] * state.kron_sb[None, :] + state.prior_prec
+        delta = state.kron_ua @ (z / jnp.sqrt(s)) @ state.kron_ub.T
+        leaves = list(flat_params)
+        leaves[k_idx] = kernel + delta[:din]
+        if b_idx is not None:
+            leaves[b_idx] = flat_params[b_idx] + delta[din]
+        return jax.tree.unflatten(treedef, leaves), state.model_state
+
     def fit(state: MethodState, data, key=None):
         """data: (x, y) arrays or an iterable of (x, y) batches."""
+        if isinstance(data, tuple):
+            x, y = data
+            data_batches = [
+                (x[i : i + batch_size], y[i : i + batch_size])
+                for i in range(0, x.shape[0], batch_size)
+            ]
+        else:
+            data_batches = list(data)
+        if hessian == "kron":
+            return _fit_kron(state, data_batches)
         params, model_state = state.params, state.model_state
         mask = last_layer_mask(params)
         _, ll_leaves = _split_by_mask(params, mask)
         ll_template = [jnp.zeros_like(l) for l in ll_leaves]
         unravel_ll = make_unravel(ll_template)
-
-        if isinstance(data, tuple):
-            x, y = data
-            batches = [
-                (x[i : i + batch_size], y[i : i + batch_size])
-                for i in range(0, x.shape[0], batch_size)
-            ]
-        else:
-            batches = list(data)
+        batches = data_batches
 
         ggn_step = jax.jit(
             lambda x, y: _ggn_batch(params, model_state, mask, unravel_ll, x, y)[:2]
@@ -221,6 +346,8 @@ def laplace_method(
 
     def sample(state: LaplaceState, key, index=None):
         del index
+        if hessian == "kron":
+            return _sample_kron(state, key)
         d = state.ll_mean.shape[0]
         z = jax.random.normal(key, (d,))
         if hessian == "full":

@@ -62,12 +62,20 @@ def last_layer_method(
     inner_factory: Callable[[LossFn], PosteriorMethod],
     backbone_tx: optax.GradientTransformation,
     mask_fn: Callable = last_layer_mask,
+    head_particles: int = 0,
 ) -> PosteriorMethod:
     """inner_factory(head_loss_fn) -> PosteriorMethod over the head tree.
 
     head_loss_fn merges the (frozen, current) backbone into the head tree
     before the forward; the backbone is threaded through a rebind box,
     read only while tracing the enclosing update call.
+
+    head_particles > 0: the inner method runs over a STACKED head
+    (last-layer SVGD, reference iwildcam ll_svgd models.py:123-154);
+    particle heads are independently re-initialized by perturbing the
+    trained init, and the backbone gradient averages over particles
+    (the reference accumulated every particle's backward pass into the
+    backbone grads, algo.py:96-99 + svgd.py:67-80).
     """
     _ctx = {}
 
@@ -81,7 +89,23 @@ def last_layer_method(
         mask = mask_fn(params)
         backbone, head = split_params(params, mask)
         _ctx["backbone"] = backbone
-        inner_state = inner.init(key, head, model_state)
+        k_inner, k_stack = jax.random.split(key)
+        if head_particles:
+            keys = jax.random.split(k_stack, head_particles)
+            heads = []
+            for k in keys:
+                noise_keys = jax.random.split(k, len(jax.tree.leaves(head)))
+                heads.append(
+                    jax.tree.unflatten(
+                        jax.tree.structure(head),
+                        [
+                            l + l.std() * jax.random.normal(nk, l.shape) if l.size else l
+                            for l, nk in zip(jax.tree.leaves(head), noise_keys)
+                        ],
+                    )
+                )
+            head = jax.tree.map(lambda *ls: jnp.stack(ls), *heads)
+        inner_state = inner.init(k_inner, head, model_state)
         return LastLayerState(
             inner=inner_state,
             backbone=backbone,
@@ -100,6 +124,13 @@ def last_layer_method(
         # 2) Deterministic step on the backbone at the pre-update head
         # (reference algo.py:98-99).
         def backbone_loss(backbone):
+            if head_particles:
+                losses = jax.vmap(
+                    lambda h: loss_fn(
+                        merge_params(backbone, h), state.inner.model_state, k_back, batch
+                    ).loss
+                )(state.inner.params)
+                return jnp.mean(losses)
             full = merge_params(backbone, state.inner.params)
             out = loss_fn(full, state.inner.model_state, k_back, batch)
             return out.loss

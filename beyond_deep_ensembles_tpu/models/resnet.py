@@ -234,6 +234,7 @@ class ResNet20(nn.Module):
     conv_kind: str = "plain"
     head_kind: Optional[str] = None  # defaults to conv_kind
     components: int = 1
+    features_only: bool = False  # return pooled features (SNGP featurizer cut)
     dtype: jnp.dtype = jnp.float32  # compute dtype for conv/dense (bf16 on TPU)
 
     @nn.compact
@@ -263,6 +264,8 @@ class ResNet20(nn.Module):
         if in_size >= 32:
             h = nn.avg_pool(h, (8, 8), strides=(8, 8))
         h = h.reshape(h.shape[0], -1)
+        if self.features_only:
+            return h
         head = make_dense(self.head_kind or self.conv_kind, self.classes, components=self.components)
         return call_layer(head, h, train, component)
 
@@ -277,6 +280,7 @@ class PreResNet20(nn.Module):
     conv_kind: str = "plain"
     head_kind: Optional[str] = None  # defaults to conv_kind
     components: int = 1
+    features_only: bool = False  # return pooled features (SNGP featurizer cut)
     dtype: jnp.dtype = jnp.float32  # compute dtype for conv/dense (bf16 on TPU)
 
     @nn.compact
@@ -303,6 +307,8 @@ class PreResNet20(nn.Module):
         if x.shape[1] >= 32:
             h = nn.avg_pool(h, (8, 8), strides=(8, 8))
         h = h.reshape(h.shape[0], -1)
+        if self.features_only:
+            return h
         head = make_dense(self.head_kind or self.conv_kind, self.classes, components=self.components)
         return call_layer(head, h, train, component)
 
@@ -319,6 +325,7 @@ class ResNet18(nn.Module):
     conv_kind: str = "plain"
     head_kind: Optional[str] = None  # defaults to conv_kind
     components: int = 1
+    features_only: bool = False  # return pooled features (SNGP featurizer cut)
     dtype: jnp.dtype = jnp.float32  # compute dtype for conv/dense (bf16 on TPU)
 
     @nn.compact
@@ -344,6 +351,8 @@ class ResNet18(nn.Module):
             )(h, train=train, component=component)
 
         h = jnp.mean(h, axis=(1, 2))
+        if self.features_only:
+            return h
         head = make_dense(self.head_kind or self.conv_kind, self.classes, components=self.components)
         return call_layer(head, h, train, component)
 
@@ -358,6 +367,7 @@ class ResNet50(nn.Module):
     conv_kind: str = "plain"
     head_kind: Optional[str] = None  # defaults to conv_kind
     components: int = 1
+    features_only: bool = False  # return pooled features (SNGP featurizer cut)
     dtype: jnp.dtype = jnp.float32  # compute dtype for conv/dense (bf16 on TPU)
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
 
@@ -386,5 +396,7 @@ class ResNet50(nn.Module):
                 )(h, train=train, component=component)
 
         h = jnp.mean(h, axis=(1, 2))
+        if self.features_only:
+            return h
         head = make_dense(self.head_kind or self.conv_kind, self.classes, components=self.components)
         return call_layer(head, h, train, component)
