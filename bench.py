@@ -13,6 +13,15 @@ A100 measured at ~40 ms/step for this config (BBB ResNet-20, bs=128,
 mc_samples=1; estimated from the per-layer-sampled eager execution —
 BASELINE.md records no in-repo wall-clock numbers). vs_baseline > 1
 means faster than the reference.
+
+Roofline (measured via compiled cost analysis on v5e): the step moves
+~1.79 GB of HBM traffic for 69 GFLOP — arithmetic intensity ~38
+flops/byte, far below the bf16 MXU ridge, so the program is
+HBM-BANDWIDTH-BOUND. At ~3.2 ms/step it sustains ~560 GB/s (~70% of
+v5e HBM peak): close to speed-of-light for this model size. bf16
+compute + fp32 accumulation trims the traffic; donation/remat/fused
+RNG were measured and do NOT help at this size (see
+ops/sampling.py notes).
 """
 from __future__ import annotations
 

@@ -58,10 +58,12 @@ def normalize(images_uint8_or_float: np.ndarray) -> np.ndarray:
 
 def _synthetic_cifar(n: int, seed: int, classes: int = 10):
     """Class-structured blobs: each class gets a color direction + spatial
-    frequency so that small convnets can actually fit it."""
+    frequency so that small convnets can actually fit it. Class
+    prototypes come from a FIXED rng so train/test splits share them
+    (per-split seeds only drive sampling noise)."""
     rng = np.random.RandomState(seed)
     y = rng.randint(0, classes, size=n)
-    base = rng.randn(classes, 4, 4, 3).astype(np.float32)
+    base = np.random.RandomState(1234).randn(classes, 4, 4, 3).astype(np.float32)
     imgs = base[y]
     imgs = imgs.repeat(8, axis=1).repeat(8, axis=2)
     imgs = 0.5 + 0.15 * imgs + 0.1 * rng.randn(n, 32, 32, 3).astype(np.float32)

@@ -51,7 +51,7 @@ def _find(root, names):
 def _synthetic_mnist(n, seed, classes=10, channels=1, size=28):
     rng = np.random.RandomState(seed)
     y = rng.randint(0, classes, size=n)
-    base = rng.rand(classes, 7, 7, channels).astype(np.float32)
+    base = np.random.RandomState(777).rand(classes, 7, 7, channels).astype(np.float32)
     x = base[y].repeat(size // 7, axis=1).repeat(size // 7, axis=2)
     x = np.clip(x + 0.1 * rng.randn(n, size, size, channels), 0, 1).astype(np.float32)
     return x, y.astype(np.int64)

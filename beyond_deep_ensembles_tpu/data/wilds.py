@@ -78,7 +78,10 @@ def _synthetic(spec: TaskSpec, n: int, seed: int):
         mask = np.ones_like(ids)
         x = np.stack([ids, mask], axis=-1)
     else:
-        base = rng.randn(n_classes, 4, 4, spec.input_shape[-1]).astype(np.float32)
+        # shared class prototypes across splits (fixed rng)
+        base = np.random.RandomState(4321).randn(
+            n_classes, 4, 4, spec.input_shape[-1]
+        ).astype(np.float32)
         cls = y.astype(int).reshape(-1) % n_classes
         h, w = spec.input_shape[:2]
         imgs = base[cls].repeat(h // 4, axis=1).repeat(w // 4, axis=2)
