@@ -106,6 +106,29 @@ def load_cifar10(
     return x, y
 
 
+def load_stl10_test(
+    subsample: Optional[int] = None, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """STL-10 test split resized to 32x32 with the same normalization —
+    the reference's OOD split for CIFAR models (cifar.py:16-17,46-48).
+    Source: ``$BDE_DATA_DIR/stl10_binary/{test_X.bin,test_y.bin}``;
+    synthetic CIFAR-like fallback otherwise."""
+    root = os.path.join(data_dir(), "stl10_binary")
+    xp, yp = os.path.join(root, "test_X.bin"), os.path.join(root, "test_y.bin")
+    if os.path.exists(xp) and os.path.exists(yp):
+        x = np.fromfile(xp, np.uint8).reshape(-1, 3, 96, 96).transpose(0, 3, 2, 1)
+        y = np.fromfile(yp, np.uint8).astype(np.int64) - 1
+        # 96 -> 32: 3x3 average pooling (the reference uses PIL resize)
+        x = x.reshape(-1, 32, 3, 32, 3, 3).mean(axis=(2, 4)).astype(np.float32)
+        x = normalize(x)
+    else:
+        x, y = _synthetic_cifar(2048, seed + 5)
+        x = normalize(x)
+    if subsample is not None:
+        x, y = x[:subsample], y[:subsample]
+    return x, y
+
+
 def load_cifar10_corrupted(
     intensity: int, subsample: Optional[int] = None, seed: int = 0
 ) -> Tuple[np.ndarray, np.ndarray]:

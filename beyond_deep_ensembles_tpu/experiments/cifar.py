@@ -361,6 +361,31 @@ def eval_model(
     )
 
 
+def eval_hmc(config: dict = None, max_samples_per_chain=None) -> dict:
+    """Evaluate the Wilson HMC posterior samples THEMSELVES through the
+    standard eval pipeline (reference experiments/cifar/eval_hmc.py:40-72)
+    — the closest thing the reference has to an integration test."""
+    from ..data.wilson import WilsonHMC
+    from ..evals.classification import analyze_output as _analyze
+
+    config = {**DEFAULT_CONFIG, **(config or {})}
+    hmc = WilsonHMC(max_samples_per_chain=max_samples_per_chain)
+    x_test, y_test = cifar_data.load_cifar10(False, subsample=config["test_subsample"])
+    bs = config["eval_batch_size"]
+    n = (x_test.shape[0] // bs) * bs
+    outs = []
+    for start in range(0, n, bs):
+        outs.append(np.asarray(hmc.log_marginal(x_test[start : start + bs])))
+    log_marg = jnp.asarray(np.concatenate(outs))
+    target = jnp.asarray(y_test[:n])
+    correct, conf, ll, agree, tv = _analyze(log_marg, target, log_marg)
+    res = EvalResult.create(
+        correct, conf, ll, bin_count=config["ece_bins"], agreements=agree,
+        total_variations=tv,
+    )
+    return res.as_dict()
+
+
 def run_single(config: dict, log=None) -> dict:
     """Train + eval on clean and corrupted splits; returns metric dict."""
     config = {**DEFAULT_CONFIG, **config}
