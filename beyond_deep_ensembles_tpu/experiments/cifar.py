@@ -299,6 +299,16 @@ def train(
     """Epoch loop, one jitted update per minibatch (reference
     cifar.py:131-186)."""
     method, state = built.method, built.state
+    trainer = None
+    if config.get("data_parallel") and jax.device_count() > 1:
+        # Shard batches over the data axis, members over the member axis
+        # (parallel/pipelines.py); single-device runs take the plain path.
+        from ..parallel.pipelines import ParallelTrainer
+
+        members = config.get("members", 1)
+        mp = members if jax.device_count() % max(members, 1) == 0 else 1
+        trainer = ParallelTrainer(method, n_members=members, member_parallel=mp)
+        state = trainer.place_state(state)
     update = jax.jit(method.update)
     key = jax.random.key(config["seed"])
     loader = PrefetchLoader((x, y), config["batch_size"], seed=config["seed"])
@@ -307,9 +317,12 @@ def train(
         losses = []
         for xb, yb in loader.epoch(epoch):
             step += 1
-            state, metrics = update(
-                state, jax.random.fold_in(key, step), (jnp.asarray(xb), jnp.asarray(yb))
-            )
+            k = jax.random.fold_in(key, step)
+            batch = (jnp.asarray(xb), jnp.asarray(yb))
+            if trainer is not None:
+                state, metrics = trainer.step(state, k, batch)
+            else:
+                state, metrics = update(state, k, batch)
             losses.append(metrics["loss"])
         epoch_loss = float(jnp.mean(jnp.stack(losses)))
         if not np.isfinite(epoch_loss):

@@ -1,14 +1,27 @@
 """Test configuration: force an 8-device CPU mesh so multi-chip sharding
-logic is exercised without TPU hardware (must run before jax imports)."""
+logic is exercised without TPU hardware.
+
+The host image's sitecustomize imports jax (registering the axon TPU
+plugin) at interpreter startup, and jax binds JAX_PLATFORMS at import
+time — so setting os.environ here is NOT enough. ``jax.config.update``
+before the first backend initialization is what actually selects the
+platform; XLA_FLAGS is read by the CPU client at backend init and must be
+set before that point too."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.device_count() == 8, (
+    f"expected the 8-device virtual CPU mesh, got {jax.devices()} — "
+    "was a backend initialized before conftest?"
+)

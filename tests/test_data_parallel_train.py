@@ -1,0 +1,42 @@
+"""Data-parallel CIFAR training path over the 8-device virtual mesh."""
+import jax
+import numpy as np
+
+
+def test_cifar_data_parallel_tiny():
+    assert jax.device_count() == 8  # conftest forces 8 CPU devices
+    from beyond_deep_ensembles_tpu.experiments import cifar as C
+
+    res = C.run_single(
+        {
+            "model": "map",
+            "epochs": 1,
+            "subsample": 256,
+            "test_subsample": 250,
+            "eval_samples": 2,
+            "eval_batch_size": 250,
+            "batch_size": 64,
+            "data_parallel": True,
+        }
+    )
+    assert np.isfinite(res["test"]["accuracy"])
+    assert np.isfinite(res["test"]["avg_log_likelihood"])
+
+
+def test_cifar_member_parallel_tiny():
+    from beyond_deep_ensembles_tpu.experiments import cifar as C
+
+    res = C.run_single(
+        {
+            "model": "map",
+            "members": 2,
+            "epochs": 1,
+            "subsample": 128,
+            "test_subsample": 125,
+            "eval_samples": 2,
+            "eval_batch_size": 125,
+            "batch_size": 64,
+            "data_parallel": True,
+        }
+    )
+    assert np.isfinite(res["test"]["accuracy"])

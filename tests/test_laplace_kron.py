@@ -61,7 +61,9 @@ def test_kron_matches_full_on_linear_head():
             return jnp.concatenate(
                 [l.reshape(-1) for l in jax.tree.leaves(p)]
             )
-        return np.asarray(jax.vmap(one)(keys))
+        # float64: np.std of hundreds of identical fp32 values is ~1e-6
+        # of accumulation noise, which breaks the constant-coordinate check
+        return np.asarray(jax.vmap(one)(keys)).astype(np.float64)
 
     d_full = draws(lap_full, st_full)
     d_kron = draws(lap_kron, st_kron)
