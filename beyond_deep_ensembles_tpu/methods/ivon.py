@@ -58,12 +58,23 @@ def ivon_method(
     lr_fn = lr if callable(lr) else (lambda step: lr)
 
     def _draw(key, precision):
-        """delta = N(0, 1/(N*prec)) (reference ivorn.py:102-111)."""
+        """delta = N(0, 1/(N*prec)) (reference ivorn.py:102-111).
+        ``__mle`` leaves (GaussLayer variance) get zero perturbation — the
+        reference keeps them out of the variational posterior
+        (util.py:72-73 use_mle_training)."""
         if deterministic:
             return tree.tree_zeros_like(precision)
+        from .api import non_mle_mask
+
+        mask = non_mle_mask(precision)
         eps = tree.normal_like(key, precision)
         return jax.tree.map(
-            lambda p, e: e / jnp.sqrt(n_eff * jnp.maximum(p, 1e-4)), precision, eps
+            lambda m, p, e: (
+                e / jnp.sqrt(n_eff * jnp.maximum(p, 1e-4)) if m else jnp.zeros_like(e)
+            ),
+            mask,
+            precision,
+            eps,
         )
 
     def init(key, params, model_state=None):

@@ -96,7 +96,10 @@ def swag_method(
 
     def sample(state: SwagState, key, index=None):
         """Low-rank + diagonal Gaussian draw (reference swag.py:107-114):
-        diag = 0.5*(relu(sq - mean^2) + 1e-6), factor = dev / sqrt(2(K-1))."""
+        diag = 0.5*(relu(sq - mean^2) + 1e-6), factor = dev / sqrt(2(K-1)).
+        ``__mle`` leaves (GaussLayer variance) stay at their current point
+        value — the reference excludes them from the SWAG posterior
+        (uci/models.py:83 passes only model[0].parameters())."""
         del index
         k1, k2 = jax.random.split(key)
         diag = 0.5 * (jax.nn.relu(state.sq_mean - state.mean**2) + 1e-6)
@@ -108,6 +111,12 @@ def swag_method(
             + jnp.sqrt(diag) * z2
         )
         params = make_unravel(state.params)(flat)
+        from .api import non_mle_mask
+
+        mask = non_mle_mask(state.params)
+        params = jax.tree.map(
+            lambda m, s, cur: s if m else cur, mask, params, state.params
+        )
         return params, state.model_state
 
     def finalize_epoch(state: SwagState):
