@@ -420,7 +420,27 @@ def run_single(config: dict, log=None) -> dict:
         built.state = lap.fit(built.state, (jnp.asarray(x_train), jnp.asarray(y_train)))
         built.method = lap
 
-    results = {"test": eval_model(built, config, x_test, y_test).as_dict()}
+    baseline = None
+    if config.get("use_hmc_baseline"):
+        # HMC agreement / total variation vs the published posterior
+        # (reference cifar.py:105-121 via WilsonHMC).
+        from ..data.wilson import WilsonHMC
+
+        hmc = WilsonHMC(max_samples_per_chain=config.get("hmc_samples_per_chain"))
+        bs = config["eval_batch_size"]
+        n = (x_test.shape[0] // bs) * bs
+        baseline = np.concatenate(
+            [
+                np.asarray(hmc.log_marginal(x_test[s : s + bs], config["eval_samples"]))
+                for s in range(0, n, bs)
+            ]
+        )
+
+    results = {
+        "test": eval_model(
+            built, config, x_test, y_test, baseline_log_probs=baseline
+        ).as_dict()
+    }
     for intensity in config.get("corrupted_intensities", []):
         xc, yc = cifar_data.load_cifar10_corrupted(
             intensity, subsample=config["test_subsample"]

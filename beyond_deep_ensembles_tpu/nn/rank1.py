@@ -28,9 +28,19 @@ from .gaussian import gaussian_param, sign_mean_init
 
 
 def _take_component(arr, component):
-    if component is None:
-        return arr[0]
     return jnp.take(arr, component, axis=0)
+
+
+def _resolve_component(module, component, components):
+    """Explicit index when given; otherwise a uniform draw over the
+    mixture — the reference cycles a per-layer counter across forwards
+    (rank1.py:63); one uniform component per posterior sample is the
+    distributionally-equivalent stateless form."""
+    if component is not None:
+        return component
+    if components == 1:
+        return 0
+    return jax.random.randint(module.make_rng("noise"), (), 0, components)
 
 
 def _sample_factor(module, name, components, dim, component):
@@ -62,6 +72,7 @@ class Rank1Dense(nn.Module):
     def __call__(self, x, train: bool = True, component=None):
         del train
         in_features = x.shape[-1]
+        component = _resolve_component(self, component, self.components)
         s = _sample_factor(self, "s", self.components, in_features, component)
         r = _sample_factor(self, "r", self.components, self.features, component)
 
@@ -93,6 +104,7 @@ class Rank1Conv(nn.Module):
         del train
         in_features = x.shape[-1]
         kh, kw = self.kernel_size
+        component = _resolve_component(self, component, self.components)
         s = _sample_factor(self, "s", self.components, in_features, component)
         r = _sample_factor(self, "r", self.components, self.features, component)
 
