@@ -356,12 +356,18 @@ def eval_model(
         )
 
     key = jax.random.key(seed)
-    n = (x.shape[0] // bs) * bs
+    n = x.shape[0]
+    # Pad the final partial batch (static shapes for jit) and trim after —
+    # every test point is evaluated exactly once (reference evaluates the
+    # whole loader, cifar.py:26-42).
     for i, start in enumerate(range(0, n, bs)):
-        xb = jnp.asarray(x[start : start + bs])
-        log_probs = predict_batch(state, xb, jax.random.fold_in(key, i))
-        outs.append(np.asarray(bayesian_model_average(log_probs)))
-        targets.append(y[start : start + bs])
+        xb = x[start : start + bs]
+        valid = xb.shape[0]
+        if valid < bs:
+            xb = np.concatenate([xb, np.repeat(xb[-1:], bs - valid, axis=0)])
+        log_probs = predict_batch(state, jnp.asarray(xb), jax.random.fold_in(key, i))
+        outs.append(np.asarray(bayesian_model_average(log_probs))[:valid])
+        targets.append(y[start : start + valid])
     log_marginal = jnp.asarray(np.concatenate(outs))
     target = jnp.asarray(np.concatenate(targets))
 
@@ -428,13 +434,16 @@ def run_single(config: dict, log=None) -> dict:
 
         hmc = WilsonHMC(max_samples_per_chain=config.get("hmc_samples_per_chain"))
         bs = config["eval_batch_size"]
-        n = (x_test.shape[0] // bs) * bs
-        baseline = np.concatenate(
-            [
-                np.asarray(hmc.log_marginal(x_test[s : s + bs], config["eval_samples"]))
-                for s in range(0, n, bs)
-            ]
-        )
+        chunks = []
+        for s in range(0, x_test.shape[0], bs):
+            xb = x_test[s : s + bs]
+            valid = xb.shape[0]
+            if valid < bs:
+                xb = np.concatenate([xb, np.repeat(xb[-1:], bs - valid, axis=0)])
+            chunks.append(
+                np.asarray(hmc.log_marginal(xb, config["eval_samples"]))[:valid]
+            )
+        baseline = np.concatenate(chunks)
 
     results = {
         "test": eval_model(

@@ -473,7 +473,6 @@ def eval_task(built: BuiltExperiment, task: str, config: dict, x, y, meta, seed=
     """Posterior-predictive eval + the task's official WILDS metrics."""
     spec = wilds_data.TASKS[task]
     bs = config["eval_batch_size"]
-    n = (x.shape[0] // bs) * bs
 
     @jax.jit
     def predict_batch(state, xb, key):
@@ -484,14 +483,18 @@ def eval_task(built: BuiltExperiment, task: str, config: dict, x, y, meta, seed=
 
     key = jax.random.key(seed)
     outs, targets = [], []
-    for i, start in enumerate(range(0, n, bs)):
-        xb = jnp.asarray(x[start : start + bs])
-        samples = predict_batch(built.state, xb, jax.random.fold_in(key, i))
-        outs.append(np.asarray(samples))
-        targets.append(y[start : start + bs])
+    # Pad the final partial batch, trim after: every point evaluated once.
+    for i, start in enumerate(range(0, x.shape[0], bs)):
+        xb = x[start : start + bs]
+        valid = xb.shape[0]
+        if valid < bs:
+            xb = np.concatenate([xb, np.repeat(xb[-1:], bs - valid, axis=0)])
+        samples = predict_batch(built.state, jnp.asarray(xb), jax.random.fold_in(key, i))
+        outs.append(np.asarray(samples)[:, :valid])
+        targets.append(y[start : start + valid])
     outputs = np.concatenate(outs, axis=1)  # [S, N, ...]
     targets = np.concatenate(targets)
-    meta = meta[:n]
+    meta = meta[: targets.shape[0]]
 
     if built.regression:
         res = RegressionResults.create(
