@@ -443,7 +443,10 @@ def _make_sngp(task: str, config: dict) -> Model:
     return Model(ImageSNGP())
 
 
-def train(built: BuiltExperiment, config: dict, x, y, log=None):
+def train(built: BuiltExperiment, config: dict, x, y, log=None, epoch_callback=None):
+    """epoch_callback(epoch, built) runs after finalize_epoch — the
+    reference's eval_while_train periodic validation hook
+    (camelyon.py:138-146); combine with utils.early_stopping."""
     method, state = built.method, built.state
     update = jax.jit(method.update)
     key = jax.random.key(config["seed"])
@@ -463,8 +466,11 @@ def train(built: BuiltExperiment, config: dict, x, y, log=None):
         if not np.isfinite(epoch_loss):
             raise RuntimeError("Diverged")  # reference civil.py:156-160
         state = method.finalize_epoch(state)
+        built.state = state
         if log:
             log(f"epoch {epoch}: loss {epoch_loss:.4f}")
+        if epoch_callback is not None:
+            epoch_callback(epoch, built)
     built.state = state
     return built
 
@@ -534,7 +540,23 @@ def run_single(task: str, config: dict, log=None) -> dict:
     config["steps_per_epoch"] = steps_per_epoch
 
     built = build(task, config, jax.random.key(config["seed"]), steps_per_epoch)
-    built = train(built, config, x, y, log=log)
+
+    epoch_callback = None
+    if config.get("eval_while_train"):
+        xv, yv, mv = wilds_data.load_wilds(task, "val", subsample=config["test_subsample"])
+        if config.get("tiny") and not wilds_data.TASKS[task].text:
+            xv = xv[:, :32, :32, :]
+        interval = config.get("eval_interval", 1)
+
+        def epoch_callback(epoch, b):
+            if epoch % interval == 0:
+                val = eval_task(b, task, config, xv, yv, mv)
+                if log:
+                    log(f"  val@{epoch}: " + ", ".join(
+                        f"{k}={v:.4f}" for k, v in val.items() if isinstance(v, float)
+                    ))
+
+    built = train(built, config, x, y, log=log, epoch_callback=epoch_callback)
 
     if config["model"] == "laplace":
         lap = laplace_method(
