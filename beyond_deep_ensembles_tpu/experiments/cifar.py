@@ -312,8 +312,20 @@ def train(
     update = jax.jit(method.update)
     key = jax.random.key(config["seed"])
     loader = PrefetchLoader((x, y), config["batch_size"], seed=config["seed"])
-    step = 0
-    for epoch in range(config["epochs"]):
+    # Periodic checkpoints + preemption-safe auto-resume (reference saves
+    # every 20 epochs, cifar.py:175-176; resume via use_checkpoint config).
+    ckpt_dir = config.get("checkpoint_dir")
+    start_epoch = 0
+    if ckpt_dir:
+        from ..utils import checkpoint as _ckpt
+
+        state, resumed = _ckpt.restore_checkpoint(ckpt_dir, state)
+        if resumed is not None:
+            start_epoch = resumed + 1
+            if log:
+                log(f"resumed from epoch {resumed}")
+    step = start_epoch * len(loader)
+    for epoch in range(start_epoch, config["epochs"]):
         losses = []
         for xb, yb in loader.epoch(epoch):
             step += 1
@@ -328,6 +340,8 @@ def train(
         if not np.isfinite(epoch_loss):
             raise RuntimeError("Diverged")  # reference poverty.py:137-141
         state = method.finalize_epoch(state)
+        if ckpt_dir and (epoch + 1) % config.get("checkpoint_interval", 20) == 0:
+            _ckpt.save_checkpoint(ckpt_dir, epoch, state)
         if log:
             log(f"epoch {epoch}: loss {epoch_loss:.4f}")
     built.state = state

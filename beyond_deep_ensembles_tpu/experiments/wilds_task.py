@@ -451,8 +451,20 @@ def train(built: BuiltExperiment, config: dict, x, y, log=None, epoch_callback=N
     update = jax.jit(method.update)
     key = jax.random.key(config["seed"])
     loader = PrefetchLoader((x, y), config["batch_size"], seed=config["seed"])
-    step = 0
-    for epoch in range(config["epochs"]):
+    # Periodic checkpoints + preemption-safe auto-resume (reference saves
+    # every 20 epochs, camelyon.py:134; resume via use_checkpoint config).
+    ckpt_dir = config.get("checkpoint_dir")
+    start_epoch = 0
+    if ckpt_dir:
+        from ..utils import checkpoint as _ckpt
+
+        state, resumed = _ckpt.restore_checkpoint(ckpt_dir, state)
+        if resumed is not None:
+            start_epoch = resumed + 1
+            if log:
+                log(f"resumed from epoch {resumed}")
+    step = start_epoch * len(loader)
+    for epoch in range(start_epoch, config["epochs"]):
         losses = []
         for xb, yb in loader.epoch(epoch):
             step += 1
@@ -467,6 +479,8 @@ def train(built: BuiltExperiment, config: dict, x, y, log=None, epoch_callback=N
             raise RuntimeError("Diverged")  # reference civil.py:156-160
         state = method.finalize_epoch(state)
         built.state = state
+        if ckpt_dir and (epoch + 1) % config.get("checkpoint_interval", 20) == 0:
+            _ckpt.save_checkpoint(ckpt_dir, epoch, state)
         if log:
             log(f"epoch {epoch}: loss {epoch_loss:.4f}")
         if epoch_callback is not None:
