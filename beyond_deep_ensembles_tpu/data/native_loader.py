@@ -17,7 +17,7 @@ import os
 import queue
 import subprocess
 import threading
-from typing import Iterator, Optional, Sequence, Tuple
+from typing import Iterator, Sequence, Tuple
 
 import numpy as np
 

@@ -14,7 +14,7 @@ ensemble_utils.py:19-53) is kept on device.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,7 @@ from ..evals.classification import EvalResult, analyze_output
 from ..methods import LossOutput, hmc_method, mfvi_method, sgmcmc_method
 from ..parallel import make_mesh, replicate, shard_batch
 from ..utils import checkpoint as ckpt
-from ..utils.logging import RunLogger, VoidLog
+from ..utils.logging import VoidLog
 
 
 def xent_loss_fn(model):

@@ -9,9 +9,7 @@ operate on orbax checkpoints of MethodStates.
 """
 from __future__ import annotations
 
-from typing import Callable, List, Sequence
-
-import jax
+from typing import List, Sequence
 
 from ..methods import deep_ensemble, laplace_method
 from ..methods.api import PosteriorMethod

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
-import time
 from typing import Callable, Optional
 
 import jax

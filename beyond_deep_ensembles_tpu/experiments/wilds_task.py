@@ -18,7 +18,7 @@ load_hf_weights) and random init is used when no checkpoint is on disk.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Callable
 
 import flax.linen as nn
 import jax
@@ -449,6 +449,11 @@ def train(built: BuiltExperiment, config: dict, x, y, log=None, epoch_callback=N
     (camelyon.py:138-146); combine with utils.early_stopping."""
     method, state = built.method, built.state
     update = jax.jit(method.update)
+    scan_steps = config.get("scan_steps", 1)
+    if scan_steps > 1:
+        from ..parallel.multistep import make_multi_step, stack_batches
+
+        multi = make_multi_step(method.update, scan_steps)
     key = jax.random.key(config["seed"])
     loader = PrefetchLoader((x, y), config["batch_size"], seed=config["seed"])
     # Periodic checkpoints + preemption-safe auto-resume (reference saves
@@ -466,13 +471,24 @@ def train(built: BuiltExperiment, config: dict, x, y, log=None, epoch_callback=N
     step = start_epoch * len(loader)
     for epoch in range(start_epoch, config["epochs"]):
         losses = []
+        pending = []
         for xb, yb in loader.epoch(epoch):
             step += 1
-            state, metrics = update(
-                state,
-                jax.random.fold_in(key, step),
-                (jnp.asarray(xb), jnp.asarray(yb)),
-            )
+            batch = (jnp.asarray(xb), jnp.asarray(yb))
+            if scan_steps > 1:
+                pending.append(batch)
+                if len(pending) == scan_steps:
+                    state, metrics = multi(
+                        state, jax.random.fold_in(key, step), stack_batches(pending)
+                    )
+                    pending = []
+                    losses.append(metrics["loss"])
+                continue
+            state, metrics = update(state, jax.random.fold_in(key, step), batch)
+            losses.append(metrics["loss"])
+        for batch in pending:  # leftover < scan_steps
+            step += 1
+            state, metrics = update(state, jax.random.fold_in(key, step), batch)
             losses.append(metrics["loss"])
         epoch_loss = float(jnp.mean(jnp.stack(losses)))
         if not np.isfinite(epoch_loss):

@@ -9,7 +9,6 @@ evaluation. Here the precision accumulates inside the jitted train step
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
 import optax
 
 from ..nn.sngp import SNGP_COLLECTION, recompute_covariance_and_reset

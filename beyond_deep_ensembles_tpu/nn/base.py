@@ -8,7 +8,7 @@ sums the leaves — one mechanism, fully jittable.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -16,7 +16,6 @@ import os
 import re
 from typing import Any, Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 _CKPT_RE = re.compile(r"checkpoint_(\d+)$")
