@@ -240,16 +240,36 @@ def train(
     (reference uci.py:82-125)."""
     method, state = built.method, built.state
     update = jax.jit(method.update)
+    scan_steps = config.get("scan_steps", 1)
+    if scan_steps > 1:
+        from ..parallel.multistep import make_multi_step, stack_batches
+
+        multi = make_multi_step(method.update, scan_steps)
     rng = np.random.RandomState(seed)
     key = jax.random.key(seed)
     step = 0
     for epoch in range(config["epochs"]):
         epoch_loss, batches = 0.0, 0
+        pending = []
         for xb, yb in batch_iter(x, y, config["batch_size"], rng):
             step += 1
-            state, metrics = update(
-                state, jax.random.fold_in(key, step), (jnp.asarray(xb), jnp.asarray(yb))
-            )
+            batch = (jnp.asarray(xb), jnp.asarray(yb))
+            if scan_steps > 1:
+                pending.append(batch)
+                if len(pending) == scan_steps:
+                    state, metrics = multi(
+                        state, jax.random.fold_in(key, step), stack_batches(pending)
+                    )
+                    pending = []
+                    epoch_loss += float(metrics["loss"]) * scan_steps
+                    batches += scan_steps
+                continue
+            state, metrics = update(state, jax.random.fold_in(key, step), batch)
+            epoch_loss += float(metrics["loss"])
+            batches += 1
+        for batch in pending:  # leftover < scan_steps
+            step += 1
+            state, metrics = update(state, jax.random.fold_in(key, step), batch)
             epoch_loss += float(metrics["loss"])
             batches += 1
         state = method.finalize_epoch(state)
