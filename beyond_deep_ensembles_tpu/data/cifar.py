@@ -66,8 +66,14 @@ def _synthetic_cifar(n: int, seed: int, classes: int = 10):
     base = np.random.RandomState(1234).randn(classes, 4, 4, 3).astype(np.float32)
     imgs = base[y]
     imgs = imgs.repeat(8, axis=1).repeat(8, axis=2)
-    imgs = 0.5 + 0.15 * imgs + 0.1 * rng.randn(n, 32, 32, 3).astype(np.float32)
-    return np.clip(imgs, 0, 1), y.astype(np.int64)
+    # float32 throughout: the build host is single-core and float64
+    # promotion on 600 MB arrays costs minutes.
+    noise = np.random.default_rng(seed + 1).standard_normal(
+        size=(n, 32, 32, 3), dtype=np.float32
+    )
+    imgs = np.float32(0.5) + np.float32(0.15) * imgs + np.float32(0.1) * noise
+    np.clip(imgs, 0, 1, out=imgs)
+    return imgs, y.astype(np.int64)
 
 
 def _load_python_batches(root: str, train: bool):

@@ -310,6 +310,41 @@ def train(
         trainer = ParallelTrainer(method, n_members=members, member_parallel=mp)
         state = trainer.place_state(state)
     update = jax.jit(method.update)
+
+    if config.get("device_data") and trainer is None:
+        # TPU-first fast path: dataset resident in HBM, one jitted scan
+        # per epoch (parallel/multistep.py make_epoch_runner) — zero
+        # host involvement between epoch boundaries.
+        from ..parallel.multistep import make_epoch_runner
+
+        data_dev = (jnp.asarray(x), jnp.asarray(y))
+        epoch_runner = make_epoch_runner(
+            method.update, x.shape[0], config["batch_size"]
+        )
+        key = jax.random.key(config["seed"])
+        ckpt_dir = config.get("checkpoint_dir")
+        start_epoch = 0
+        if ckpt_dir:
+            from ..utils import checkpoint as _ckpt
+
+            state, resumed = _ckpt.restore_checkpoint(ckpt_dir, state)
+            if resumed is not None:
+                start_epoch = resumed + 1
+        for epoch in range(start_epoch, config["epochs"]):
+            state, metrics = epoch_runner(state, jax.random.fold_in(key, epoch), data_dev)
+            epoch_loss = float(metrics["loss"])
+            if not np.isfinite(epoch_loss):
+                raise RuntimeError("Diverged")
+            state = method.finalize_epoch(state)
+            if ckpt_dir and (epoch + 1) % config.get("checkpoint_interval", 20) == 0:
+                from ..utils import checkpoint as _ckpt
+
+                _ckpt.save_checkpoint(ckpt_dir, epoch, state)
+            if log:
+                log(f"epoch {epoch}: loss {epoch_loss:.4f}")
+        built.state = state
+        return built
+
     # scan_steps > 1: fold K optimizer steps into one jitted lax.scan —
     # measured 8-26x faster than per-step dispatch for ResNet-20-sized
     # models (parallel/multistep.py).

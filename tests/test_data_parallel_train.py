@@ -58,3 +58,31 @@ def test_cifar_scan_steps_tiny():
         }
     )
     assert np.isfinite(res["test"]["accuracy"])
+
+
+def test_epoch_runner_device_data():
+    """Whole-epoch device-resident scan (parallel/multistep.py
+    make_epoch_runner): equivalent learning to per-step dispatch."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from beyond_deep_ensembles_tpu.methods import LossOutput, map_method
+    from beyond_deep_ensembles_tpu.parallel.multistep import make_epoch_runner
+
+    w_true = jnp.asarray([[1.0], [-2.0], [0.5], [2.0]])
+    x = jax.random.normal(jax.random.key(0), (256, 4))
+    y = x @ w_true
+
+    def loss_fn(params, model_state, key, batch):
+        xb, yb = batch
+        return LossOutput(loss=jnp.mean((xb @ params["w"] - yb) ** 2), model_state=model_state)
+
+    method = map_method(loss_fn, optax.sgd(0.1))
+    state = method.init(jax.random.key(1), {"w": jnp.zeros((4, 1))}, {})
+    runner = make_epoch_runner(method.update, 256, 32)
+    for e in range(30):
+        state, metrics = runner(state, jax.random.fold_in(jax.random.key(2), e), (x, y))
+    assert float(metrics["loss"]) < 1e-3
+    np.testing.assert_allclose(np.asarray(state.params["w"]), np.asarray(w_true), atol=0.05)
+    assert int(state.step) == 30 * 8  # 8 steps per epoch all executed
