@@ -97,10 +97,18 @@ def laplace_method(
     prior_prec: float = 1.0,
     batch_size: int = 256,
     mean_output: Optional[Callable] = None,
+    subset_mask_fn: Callable = None,
 ) -> LaplacePosterior:
     """model: nn.base.Model. mean_output(params, model_state, x) -> [B, O]
     network output the GGN linearizes (defaults to the model forward,
-    taking channel 0 of GaussLayer pairs for regression)."""
+    taking channel 0 of GaussLayer pairs for regression).
+
+    subset_mask_fn(params) -> bool pytree selects the Laplace subnetwork
+    (default: the last dense layer — laplace-torch's subset_of_weights=
+    'last_layer' default, reference laplace_approx.py:9; pass e.g.
+    ``lambda p: jax.tree.map(lambda _: True, p)`` for all-weights with
+    hessian='diag')."""
+    mask_fn = subset_mask_fn or last_layer_mask
     if hessian not in ("full", "diag", "kron"):
         raise NotImplementedError(f"hessian={hessian!r}")
 
@@ -183,7 +191,7 @@ def laplace_method(
         for a linear head (laplace-torch's kron option,
         reference laplace_approx.py:9)."""
         params, model_state = state.params, state.model_state
-        mask = last_layer_mask(params)
+        mask = mask_fn(params)
         flat_params = jax.tree.leaves(params)
         treedef = jax.tree.structure(params)
         k_idx, b_idx = _head_leaves(params, mask)
@@ -265,7 +273,7 @@ def laplace_method(
     def _sample_kron(state: LaplaceState, key):
         flat_params = jax.tree.leaves(state.params)
         treedef = jax.tree.structure(state.params)
-        mask = last_layer_mask(state.params)
+        mask = mask_fn(state.params)
         k_idx, b_idx = _head_leaves(state.params, mask)
         kernel = flat_params[k_idx]
         din, n_out = kernel.shape
@@ -291,7 +299,7 @@ def laplace_method(
         if hessian == "kron":
             return _fit_kron(state, data_batches)
         params, model_state = state.params, state.model_state
-        mask = last_layer_mask(params)
+        mask = mask_fn(params)
         _, ll_leaves = _split_by_mask(params, mask)
         ll_template = [jnp.zeros_like(l) for l in ll_leaves]
         unravel_ll = make_unravel(ll_template)
@@ -354,7 +362,7 @@ def laplace_method(
             vec = state.ll_mean + state.scale_tril @ z
         else:
             vec = state.ll_mean + state.diag_scale * z
-        mask = last_layer_mask(state.params)
+        mask = mask_fn(state.params)
         _, ll_leaves = _split_by_mask(state.params, mask)
         unravel_ll = make_unravel([jnp.zeros_like(l) for l in ll_leaves])
         ll_new = iter(jax.tree.leaves(unravel_ll(vec)))
