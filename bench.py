@@ -35,6 +35,18 @@ BASELINE_STEP_MS = 40.0  # A100 PyTorch reference estimate (see docstring)
 BATCH = 128
 
 
+def _enable_cache():
+    try:
+        from beyond_deep_ensembles_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
+
+
+_enable_cache()
+
+
 def main():
     from beyond_deep_ensembles_tpu.methods import GaussianPrior, bbb_method
     from beyond_deep_ensembles_tpu.methods.api import LossOutput

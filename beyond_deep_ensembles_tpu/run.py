@@ -45,6 +45,18 @@ def run_task(task: str, params: dict, log) -> dict:
     raise ValueError(f"unknown task {task!r}")
 
 
+def _enable_cache():
+    try:
+        from beyond_deep_ensembles_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
+
+
+_enable_cache()
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("task")
