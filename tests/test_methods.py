@@ -253,3 +253,36 @@ def test_deep_ensemble_and_predict():
     )
     assert outs.shape == (6, 5, 1)
     np.testing.assert_allclose(outs.mean(0), x @ W_TRUE, atol=0.1)
+
+
+def test_multiswag_ensemble():
+    """MultiSWAG: deep ensemble wrapping SWAG — member cycling selects
+    each member's own low-rank posterior (reference MultiSWAG variant,
+    cifar.yaml + ensemble.py)."""
+    batch = _data(jax.random.key(0), n=64)
+    inner = swag_method(
+        _linear_loss, optax.sgd(0.05), update_interval=1, start_epoch=0,
+        deviation_samples=4,
+    )
+    method = deep_ensemble(inner, n_members=2)
+    stacked = tree_stack([_init_params(jax.random.key(30 + i)) for i in range(2)])
+    state = method.init(jax.random.key(1), stacked, {})
+    step = jax.jit(method.update)
+    for i in range(10):
+        state, metrics = step(state, jax.random.key(i), batch)
+    state = method.finalize_epoch(state)
+    assert int(state.epoch[0]) == 1 and int(state.updates[0]) == 10
+    # sampling: index selects member, key draws from that member's posterior
+    p0, _ = method.sample(state, jax.random.key(5), 0)
+    p1, _ = method.sample(state, jax.random.key(5), 1)
+    p0b, _ = method.sample(state, jax.random.key(6), 0)
+    assert p0["w"].shape == (3, 1)
+    assert not np.allclose(p0["w"], p1["w"])  # different members
+    assert not np.allclose(p0["w"], p0b["w"])  # different draws
+    # predictive pipeline end-to-end
+    outs = predict(
+        method, state, lambda p, ms, k, xx: xx @ p["w"], batch[0][:4],
+        n_samples=4, key=jax.random.key(7),
+    )
+    assert outs.shape == (4, 4, 1)
+    assert np.all(np.isfinite(np.asarray(outs)))
