@@ -39,7 +39,14 @@ def make_mesh(
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
-    assert n % member_parallel == 0, (n, member_parallel)
+    if n % member_parallel != 0:
+        raise ValueError(
+            f"make_mesh: {n} visible device(s) not divisible by "
+            f"member_parallel={member_parallel}. Either pass a divisor of "
+            f"{n}, or provision more devices (for a virtual CPU mesh set "
+            f"JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=<n> "
+            f"before the first jax import)."
+        )
     grid = np.asarray(devices).reshape(member_parallel, n // member_parallel)
     return Mesh(grid, (MEMBER_AXIS, DATA_AXIS))
 
