@@ -75,8 +75,13 @@ def swag_method(
         steps_since = state.steps_since_start + jnp.where(started, 1, 0)
         do_update = started & (steps_since % update_interval == 0)
 
+        # The reference pre-increments its update counter (swag.py:98-102),
+        # so collection k computes (k*mean + p)/(k+1) with mean seeded from
+        # the INIT-time parameter vector — i.e. the init point counts as
+        # one collected sample. Matched exactly (verified by
+        # tests/test_reference_parity.py against the live reference).
         flat = ravel(params)
-        n = state.updates
+        n = state.updates + 1
         new_mean = (n * state.mean + flat) / (n + 1)
         new_sq = (n * state.sq_mean + flat**2) / (n + 1)
         new_dev = jnp.roll(state.deviations, -1, axis=0).at[-1].set(flat - new_mean)

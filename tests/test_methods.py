@@ -113,8 +113,10 @@ def test_swag_moments_match_naive():
     for i in range(6):
         state, _ = step(state, jax.random.key(i), batch)
         collected.append(np.asarray(ravel(state.params)))
-        # naive running stats with the reference recurrence
-        n = i  # state.updates before this step's swag update
+        # naive running stats with the reference recurrence: the counter
+        # pre-increments (swag.py:98-101), so update k uses weight k on
+        # the previous mean — the init point counts as one sample.
+        n = i + 1
         mean_prev = means[-1] if means else collected[0]
         sq_prev = sqs[-1] if sqs else collected[0] ** 2
         means.append((n * mean_prev + collected[-1]) / (n + 1))
