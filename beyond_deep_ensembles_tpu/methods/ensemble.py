@@ -27,7 +27,6 @@ def deep_ensemble(inner: PosteriorMethod, n_members: int) -> PosteriorMethod:
     def init(key, stacked_params, stacked_model_state=None):
         keys = jax.random.split(key, n_members)
         if stacked_model_state is None:
-            stacked_model_state = [None] * 0  # vmap needs a pytree; use {}
             stacked_model_state = {}
         return jax.vmap(inner.init)(keys, stacked_params, stacked_model_state)
 
@@ -36,7 +35,12 @@ def deep_ensemble(inner: PosteriorMethod, n_members: int) -> PosteriorMethod:
         new_state, metrics = jax.vmap(inner.update, in_axes=(0, 0, None))(
             state, keys, batch
         )
-        return new_state, {k: jnp.mean(v) for k, v in metrics.items()}
+        # Scalar means for logging; the unreduced [n_members] values stay
+        # available under *_per_member so non-linear aggregations can use
+        # the raw per-member numbers.
+        out = {k: jnp.mean(v) for k, v in metrics.items()}
+        out.update({f"{k}_per_member": v for k, v in metrics.items()})
+        return new_state, out
 
     def sample(state, key, index=None):
         if index is None:

@@ -7,3 +7,5 @@ from .mesh import (  # noqa: F401
     shard_member_state,
     replicate,
 )
+from .multistep import make_epoch_runner, make_multi_step, stack_batches  # noqa: F401
+from .pipelines import ParallelTrainer  # noqa: F401

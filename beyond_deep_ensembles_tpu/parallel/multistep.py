@@ -31,7 +31,8 @@ def make_multi_step(update, k: int):
             return s, m
 
         state, metrics = jax.lax.scan(body, state, (keys, stacked_batches))
-        return state, {name: jnp.mean(v) for name, v in metrics.items()}
+        # Mean over the scanned steps only — per-member metric axes survive.
+        return state, {name: jnp.mean(v, axis=0) for name, v in metrics.items()}
 
     return multi
 
@@ -73,6 +74,7 @@ def make_epoch_runner(update, n_data: int, batch_size: int):
         state, metrics = jax.lax.scan(
             lambda s, inp: update(s, inp[0], inp[1]), state, (keys, shuffled)
         )
-        return state, {name: jnp.mean(v) for name, v in metrics.items()}
+        # Mean over the scanned steps only — per-member metric axes survive.
+        return state, {name: jnp.mean(v, axis=0) for name, v in metrics.items()}
 
     return epoch

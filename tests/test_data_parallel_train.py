@@ -86,3 +86,107 @@ def test_epoch_runner_device_data():
     assert float(metrics["loss"]) < 1e-3
     np.testing.assert_allclose(np.asarray(state.params["w"]), np.asarray(w_true), atol=0.05)
     assert int(state.step) == 30 * 8  # 8 steps per epoch all executed
+
+
+# ---------------------------------------------------------------------------
+# Numerical equivalence: 1 device vs sharded mesh (the multi-chip
+# correctness contract — same seed + same batches must give the same
+# parameters regardless of how the work is laid out).
+# ---------------------------------------------------------------------------
+
+
+def _run_steps(method, state, batches, trainer=None):
+    import jax
+
+    step = trainer.step if trainer is not None else jax.jit(method.update)
+    for i, batch in enumerate(batches):
+        state, metrics = step(state, jax.random.key(100 + i), batch)
+    return jax.device_get(state), jax.device_get(metrics)
+
+
+def test_map_data_parallel_equals_single_device():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from beyond_deep_ensembles_tpu.methods import LossOutput, map_method
+    from beyond_deep_ensembles_tpu.parallel import ParallelTrainer, make_mesh
+
+    def loss_fn(params, model_state, key, batch):
+        x, y = batch
+        return LossOutput(loss=jnp.mean((x @ params["w"] - y) ** 2))
+
+    method = map_method(loss_fn, optax.sgd(0.1))
+    x = jax.random.normal(jax.random.key(0), (64, 4))
+    y = x @ jnp.asarray([[1.0], [-2.0], [0.5], [2.0]])
+    batches = [(x[i * 16 : (i + 1) * 16], y[i * 16 : (i + 1) * 16]) for i in range(4)]
+    params0 = {"w": jnp.zeros((4, 1))}
+
+    base_state, _ = _run_steps(method, method.init(jax.random.key(1), params0, {}), batches)
+
+    mesh = make_mesh(8, member_parallel=1)
+    trainer = ParallelTrainer(method, mesh=mesh)
+    state = trainer.place_state(method.init(jax.random.key(1), params0, {}))
+    dp_state, _ = _run_steps(method, state, batches, trainer=trainer)
+
+    np.testing.assert_allclose(dp_state.params["w"], base_state.params["w"], rtol=1e-5, atol=1e-6)
+    assert int(dp_state.step) == int(base_state.step) == 4
+
+
+def test_ensemble_bbb_member_data_parallel_equals_single_device():
+    """Deep-ensemble-of-BBB on a (member=2, data=4) mesh reproduces the
+    single-device trajectory bit-for-tolerance: member sharding + batch
+    sharding + the per-member RNG streams all commute with placement."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from beyond_deep_ensembles_tpu.methods import (
+        GaussianPrior,
+        LossOutput,
+        bbb_method,
+        deep_ensemble,
+    )
+    from beyond_deep_ensembles_tpu.parallel import ParallelTrainer, make_mesh
+    from beyond_deep_ensembles_tpu.tree import tree_stack
+
+    def loss_fn(params, model_state, key, batch):
+        x, y = batch
+        eps = jax.random.normal(key, params["w__gmean"].shape)
+        w = params["w__gmean"] + jax.nn.softplus(params["w__grho"]) * eps
+        return LossOutput(loss=jnp.mean((x @ w - y) ** 2))
+
+    inner = bbb_method(
+        loss_fn, optax.sgd(0.05), GaussianPrior(0.0, 1.0), dataset_size=64, mc_samples=2
+    )
+    method = deep_ensemble(inner, 2)
+
+    x = jax.random.normal(jax.random.key(2), (64, 3))
+    y = x @ jnp.asarray([[0.3], [-1.0], [2.0]])
+    batches = [(x[i * 16 : (i + 1) * 16], y[i * 16 : (i + 1) * 16]) for i in range(4)]
+    members = [
+        {
+            "w__gmean": jax.random.normal(jax.random.key(10 + m), (3, 1)) * 0.1,
+            "w__grho": jnp.full((3, 1), -2.0),
+        }
+        for m in range(2)
+    ]
+    stacked = tree_stack(members)
+
+    base_state, base_metrics = _run_steps(
+        method, method.init(jax.random.key(3), stacked), batches
+    )
+
+    mesh = make_mesh(8, member_parallel=2)
+    trainer = ParallelTrainer(method, mesh=mesh, n_members=2)
+    state = trainer.place_state(method.init(jax.random.key(3), stacked))
+    par_state, par_metrics = _run_steps(method, state, batches, trainer=trainer)
+
+    for k in ("w__gmean", "w__grho"):
+        np.testing.assert_allclose(
+            par_state.params[k], base_state.params[k], rtol=1e-5, atol=1e-6
+        )
+    np.testing.assert_allclose(par_metrics["loss"], base_metrics["loss"], rtol=1e-5)
+    np.testing.assert_allclose(
+        par_metrics["loss_per_member"], base_metrics["loss_per_member"], rtol=1e-5
+    )
