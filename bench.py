@@ -1,38 +1,40 @@
 """Headline benchmark: BBB ResNet-20 (FRN + swish) CIFAR-10 training-step
-throughput on one TPU chip.
+throughput on one TPU chip, grounded by measured anchors.
 
 This is the reference's hottest configuration (CIFAR-10: 50k images x 300
 epochs at batch 128, SURVEY.md §6) and the core of the north-star metric
 ("BDL optimizer step time/particle"). The whole BBB step — local
 reparameterization forward, KL collection, backward, Adam update — is one
 jitted XLA program here, versus the reference's host-driven closure loop
-(reference src/algos/bbb.py:59-89 + experiments/cifar/cifar.py:153-172).
+(reference src/algos/bbb.py:59-89 + experiments/cifar/cifar.py:153-172);
+K=16 steps are folded into one lax.scan dispatch (parallel/multistep.py)
+over 16 DISTINCT minibatches.
 
-vs_baseline compares against the reference's PyTorch step time on an
-A100 measured at ~40 ms/step for this config (BBB ResNet-20, bs=128,
-mc_samples=1; estimated from the per-layer-sampled eager execution —
-BASELINE.md records no in-repo wall-clock numbers). vs_baseline > 1
-means faster than the reference.
-
-Measured anatomy of the step time on v5e: a single dispatched step costs
-~3.2 ms, but scanning K=16 steps inside ONE jitted call (lax.scan over
-stacked minibatches, parallel/multistep.py) drops it to ~0.38 ms/step —
-the dispatched number was ~90% host-launch overhead, not device time.
-The benchmark therefore measures the scan path (the production loop).
-bf16 compute + fp32 accumulation; donation/remat/fused RNG measured as
-non-wins at this size (ops/sampling.py notes).
+vs_baseline divides the MEASURED reference step time by ours. The anchor
+(benchmarks/torch_anchor.json, regenerate with benchmarks/torch_anchor.py)
+is the live reference code timed on this host's CPU — the only hardware
+the reference can use in this environment — and is labeled as such; no
+invented accelerator constants. The JSON line also carries achieved
+TFLOP/s and MFU from XLA's own cost analysis, plus SVGD step/particle and
+MC-eval samples/sec so the perf story is more than one number.
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import optax
 
-BASELINE_STEP_MS = 40.0  # A100 PyTorch reference estimate (see docstring)
 BATCH = 128
+SCAN_K = 16
+TIMING_REPS = 5  # the tunneled chip is multi-tenant: take the best rep
+V5E_BF16_PEAK_FLOPS = 197e12  # public TPU v5e spec: 197 TFLOP/s bf16
+ANCHOR_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "benchmarks", "torch_anchor.json"
+)
 
 
 def _enable_cache():
@@ -47,11 +49,23 @@ def _enable_cache():
 _enable_cache()
 
 
-def main():
+def _best_timed(fn, reps=TIMING_REPS):
+    """Best-of-reps wall time for fn() (returns a value to block on)."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_bbb_resnet20():
     from beyond_deep_ensembles_tpu.methods import GaussianPrior, bbb_method
     from beyond_deep_ensembles_tpu.methods.api import LossOutput
     from beyond_deep_ensembles_tpu.models.resnet import ResNet20
     from beyond_deep_ensembles_tpu.nn.base import Model
+    from beyond_deep_ensembles_tpu.parallel.multistep import make_multi_step
 
     model = Model(
         ResNet20(
@@ -82,45 +96,191 @@ def main():
     params, model_state = model.init(jax.random.key(0), x)
     state = method.init(jax.random.key(1), params, model_state)
 
-    batch = (
-        jax.random.normal(jax.random.key(2), (BATCH, 32, 32, 3)),
-        jax.random.randint(jax.random.key(3), (BATCH,), 0, 10),
-    )
-    from beyond_deep_ensembles_tpu.parallel.multistep import (
-        make_multi_step,
-        stack_batches,
+    # 16 DISTINCT minibatches so the scanned step can never constant-fold.
+    stacked = (
+        jax.random.normal(jax.random.key(2), (SCAN_K, BATCH, 32, 32, 3)),
+        jax.random.randint(jax.random.key(3), (SCAN_K, BATCH), 0, 10),
     )
 
-    K = 16
-    multi = make_multi_step(method.update, K)
-    stacked = stack_batches([batch] * K)
+    multi = make_multi_step(method.update, SCAN_K)
 
     # warmup / compile
     state, metrics = multi(state, jax.random.key(4), stacked)
     jax.block_until_ready(metrics["loss"])
 
+    # XLA's own flop count for the compiled K-step program.
+    flops_per_step = None
+    try:
+        cost = multi.lower(state, jax.random.key(4), stacked).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        if cost and cost.get("flops", 0) > 0:
+            flops_per_step = float(cost["flops"]) / SCAN_K
+    except Exception:
+        pass
+
     n_chunks = 10
-    t0 = time.perf_counter()
-    for i in range(n_chunks):
-        state, metrics = multi(state, jax.random.fold_in(jax.random.key(5), i), stacked)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+    holder = {"state": state}
 
-    n_steps = n_chunks * K
-    step_ms = dt / n_steps * 1e3
-    images_per_sec = BATCH * n_steps / dt
-    vs_baseline = BASELINE_STEP_MS / step_ms
+    def run():
+        s = holder["state"]
+        for i in range(n_chunks):
+            s, m = multi(s, jax.random.fold_in(jax.random.key(5), i), stacked)
+        holder["state"] = s
+        return m["loss"]
 
-    print(
-        json.dumps(
-            {
-                "metric": "bbb_resnet20_cifar_train_step",
-                "value": round(images_per_sec, 1),
-                "unit": "images/sec (bs=128, step %.2f ms)" % step_ms,
-                "vs_baseline": round(vs_baseline, 2),
-            }
-        )
+    dt = _best_timed(run)
+    n_steps = n_chunks * SCAN_K
+    step_s = dt / n_steps
+
+    out = {
+        "step_ms": step_s * 1e3,
+        "images_per_sec": BATCH / step_s,
+    }
+    if flops_per_step:
+        out["flops_per_step"] = flops_per_step
+        out["achieved_tflops"] = flops_per_step / step_s / 1e12
+        out["mfu_vs_v5e_bf16_peak"] = flops_per_step / step_s / V5E_BF16_PEAK_FLOPS
+    return out
+
+
+def bench_svgd_mlp(particles: int = 20):
+    """North-star SVGD config: 20 particles on the UCI MLP (50-50 hidden,
+    reference experiments/uci/models.py), all particles in ONE vmapped
+    step vs the reference's sequential per-particle passes."""
+    from beyond_deep_ensembles_tpu.methods import svgd_method
+    from beyond_deep_ensembles_tpu.methods.api import LossOutput
+    from beyond_deep_ensembles_tpu.tree import tree_stack
+
+    d_in, h = 8, 50
+
+    def forward(p, x):
+        z = jax.nn.relu(x @ p["w1"] + p["b1"])
+        z = jax.nn.relu(z @ p["w2"] + p["b2"])
+        return z @ p["w3"] + p["b3"]
+
+    def loss_fn(params, model_state, key, batch):
+        x, y = batch
+        return LossOutput(loss=jnp.mean((forward(params, x) - y) ** 2))
+
+    def init_one(key):
+        ks = jax.random.split(key, 3)
+        return {
+            "w1": jax.random.normal(ks[0], (d_in, h)) * 0.1,
+            "b1": jnp.zeros(h),
+            "w2": jax.random.normal(ks[1], (h, h)) * 0.1,
+            "b2": jnp.zeros(h),
+            "w3": jax.random.normal(ks[2], (h, 1)) * 0.1,
+            "b3": jnp.zeros(1),
+        }
+
+    stacked = tree_stack([init_one(k) for k in jax.random.split(jax.random.key(0), particles)])
+    method = svgd_method(
+        loss_fn, optax.adam(1e-3), particle_count=particles, dataset_size=512, l2_reg=1e-2
     )
+    state = method.init(jax.random.key(1), stacked, {})
+    batch = (
+        jax.random.normal(jax.random.key(2), (128, d_in)),
+        jax.random.normal(jax.random.key(3), (128, 1)),
+    )
+    update = jax.jit(method.update)
+    state, m = update(state, jax.random.key(4), batch)
+    jax.block_until_ready(m["loss"])
+
+    n = 50
+    holder = {"state": state}
+
+    def run():
+        s = holder["state"]
+        for i in range(n):
+            s, m = update(s, jax.random.fold_in(jax.random.key(5), i), batch)
+        holder["state"] = s
+        return m["loss"]
+
+    dt = _best_timed(run)
+    step_ms = dt / n * 1e3
+    return {"step_ms": step_ms, "step_ms_per_particle": step_ms / particles}
+
+
+def bench_mc_eval(samples: int = 50):
+    """Posterior-predictive throughput: MC-dropout-style sampled forwards
+    on ResNet-20, vmapped over the sample axis."""
+    from beyond_deep_ensembles_tpu.methods import map_method, predict
+    from beyond_deep_ensembles_tpu.methods.api import LossOutput
+    from beyond_deep_ensembles_tpu.models.resnet import ResNet20
+    from beyond_deep_ensembles_tpu.nn.base import Model
+
+    model = Model(
+        ResNet20(classes=10, activation="swish", norm="frn", dropout_p=0.1,
+                 dtype=jnp.bfloat16)
+    )
+
+    def loss_fn(params, model_state, key, batch):
+        x, y = batch
+        out, kl, new_state = model.apply(params, model_state, key, x, train=True)
+        return LossOutput(loss=jnp.mean(out), kl=kl, model_state=new_state)
+
+    method = map_method(loss_fn, optax.sgd(0.1))
+    x = jnp.zeros((BATCH, 32, 32, 3), jnp.float32)
+    params, ms = model.init(jax.random.key(0), x)
+    state = method.init(jax.random.key(1), params, ms)
+
+    def apply_fn(params, model_state, key, xb):
+        out, _, _ = model.apply(params, model_state, key, xb, train=False)
+        return jax.nn.log_softmax(out, axis=-1)
+
+    pred = jax.jit(
+        lambda s, xb, k: predict(method, s, apply_fn, xb, n_samples=samples, key=k)
+    )
+    xb = jax.random.normal(jax.random.key(2), (BATCH, 32, 32, 3))
+    out = pred(state, xb, jax.random.key(3))
+    jax.block_until_ready(out)
+
+    dt = _best_timed(lambda: pred(state, xb, jax.random.key(4)))
+    return {"mc_eval_samples_per_sec": samples * BATCH / dt}
+
+
+def load_anchor():
+    try:
+        with open(ANCHOR_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def main():
+    bbb = bench_bbb_resnet20()
+    svgd = bench_svgd_mlp()
+    mc = bench_mc_eval()
+    anchor = load_anchor()
+
+    result = {
+        "metric": "bbb_resnet20_cifar_train_step",
+        "value": round(bbb["images_per_sec"], 1),
+        "unit": "images/sec (bs=%d, step %.2f ms)" % (BATCH, bbb["step_ms"]),
+    }
+    if anchor:
+        result["vs_baseline"] = round(anchor["step_ms"] / bbb["step_ms"], 2)
+        result["baseline_anchor"] = {
+            "kind": anchor["kind"],
+            "hardware": anchor["hardware"],
+            "step_ms": anchor["step_ms"],
+            "caveat": "reference measured on host CPU (its only option here), not an accelerator",
+        }
+    else:
+        result["vs_baseline"] = None
+
+    extra = {
+        "svgd20_mlp_step_ms_per_particle": round(svgd["step_ms_per_particle"], 4),
+        "mc_eval_samples_per_sec": round(mc["mc_eval_samples_per_sec"], 1),
+    }
+    if "achieved_tflops" in bbb:
+        extra["bbb_achieved_tflops"] = round(bbb["achieved_tflops"], 2)
+        extra["bbb_mfu_vs_v5e_bf16_peak"] = round(bbb["mfu_vs_v5e_bf16_peak"], 4)
+        extra["bbb_flops_per_step"] = bbb["flops_per_step"]
+    result["extra"] = extra
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
