@@ -9,11 +9,18 @@ Functional design: parameters are split by a last-layer mask into two
 full-structure trees where the "other side" of each leaf is a zero-size
 placeholder (shape (0,)). The placeholder shapes themselves encode the
 mask — no non-hashable mask state needs to ride in the method state.
-The inner PosteriorMethod owns only the head tree; the backbone is
-updated by a plain optax transformation using gradients from one extra
-fused forward at the pre-update head (the reference reuses the inner
-step's accumulated backward gradients, algo.py:96-99 — same fixed point,
-simpler composition).
+The inner PosteriorMethod owns only the head tree; it is (re)constructed
+per trace with the current backbone closed over, so the backbone threads
+through explicit function arguments — no mutable rebind box, safe under
+separate jits of ``update``/``sample`` and with interleaved last-layer
+methods.
+
+Backbone gradients are taken by differentiating *through* the inner
+update's loss metric, so XLA shares the network forward between the head
+step and the backbone step — the functional analogue of the reference
+accumulating every inner backward pass into the backbone grads
+(algo.py:96-99): one full forward + one full backward per step, not two
+forwards.
 """
 from __future__ import annotations
 
@@ -66,9 +73,9 @@ def last_layer_method(
 ) -> PosteriorMethod:
     """inner_factory(head_loss_fn) -> PosteriorMethod over the head tree.
 
-    head_loss_fn merges the (frozen, current) backbone into the head tree
-    before the forward; the backbone is threaded through a rebind box,
-    read only while tracing the enclosing update call.
+    The inner method is rebuilt per call with the current backbone closed
+    over (pure closure construction at trace time — each of init/update/
+    sample traces its own inner, so there is no cross-call mutable state).
 
     head_particles > 0: the inner method runs over a STACKED head
     (last-layer SVGD, reference iwildcam ll_svgd models.py:123-154);
@@ -77,18 +84,17 @@ def last_layer_method(
     (the reference accumulated every particle's backward pass into the
     backbone grads, algo.py:96-99 + svgd.py:67-80).
     """
-    _ctx = {}
 
-    def head_loss_fn(head_params, model_state, key, batch, **kw):
-        full = merge_params(_ctx["backbone"], head_params)
-        return loss_fn(full, model_state, key, batch, **kw)
+    def make_inner(backbone) -> PosteriorMethod:
+        def head_loss_fn(head_params, model_state, key, batch, **kw):
+            full = merge_params(backbone, head_params)
+            return loss_fn(full, model_state, key, batch, **kw)
 
-    inner = inner_factory(head_loss_fn)
+        return inner_factory(head_loss_fn)
 
     def init(key, params, model_state=None):
         mask = mask_fn(params)
         backbone, head = split_params(params, mask)
-        _ctx["backbone"] = backbone
         k_inner, k_stack = jax.random.split(key)
         if head_particles:
             keys = jax.random.split(k_stack, head_particles)
@@ -105,7 +111,7 @@ def last_layer_method(
                     )
                 )
             head = jax.tree.map(lambda *ls: jnp.stack(ls), *heads)
-        inner_state = inner.init(k_inner, head, model_state)
+        inner_state = make_inner(backbone).init(k_inner, head, model_state)
         return LastLayerState(
             inner=inner_state,
             backbone=backbone,
@@ -115,27 +121,20 @@ def last_layer_method(
         )
 
     def update(state: LastLayerState, key, batch):
-        _ctx["backbone"] = state.backbone
-        k_inner, k_back = jax.random.split(key)
+        k_inner, _ = jax.random.split(key)
 
-        # 1) Bayesian step on the head (reference algo.py:96-97).
-        inner_state, metrics = inner.update(state.inner, k_inner, batch)
+        # One differentiable pass: the Bayesian head step (reference
+        # algo.py:96-97) whose loss metric is differentiated w.r.t. the
+        # backbone — XLA shares the forward between head-grad and
+        # backbone-grad, matching the reference's reuse of the inner
+        # backward passes for the backbone update (algo.py:98-99).
+        def joint(backbone):
+            inner_state, metrics = make_inner(backbone).update(
+                state.inner, k_inner, batch
+            )
+            return metrics["loss"], (inner_state, metrics)
 
-        # 2) Deterministic step on the backbone at the pre-update head
-        # (reference algo.py:98-99).
-        def backbone_loss(backbone):
-            if head_particles:
-                losses = jax.vmap(
-                    lambda h: loss_fn(
-                        merge_params(backbone, h), state.inner.model_state, k_back, batch
-                    ).loss
-                )(state.inner.params)
-                return jnp.mean(losses)
-            full = merge_params(backbone, state.inner.params)
-            out = loss_fn(full, state.inner.model_state, k_back, batch)
-            return out.loss
-
-        grads = jax.grad(backbone_loss)(state.backbone)
+        grads, (inner_state, metrics) = jax.grad(joint, has_aux=True)(state.backbone)
         updates, backbone_opt = backbone_tx.update(
             grads, state.backbone_opt, state.backbone
         )
@@ -151,20 +150,26 @@ def last_layer_method(
         )
 
     def sample(state: LastLayerState, key, index=None):
-        _ctx["backbone"] = state.backbone
-        head, model_state = inner.sample(state.inner, key, index)
+        head, model_state = make_inner(state.backbone).sample(state.inner, key, index)
         return merge_params(state.backbone, head), model_state
 
     def finalize_epoch(state: LastLayerState):
+        # finalize hooks never evaluate the loss; any backbone works here.
+        inner = make_inner(state.backbone)
         return state.replace(
             inner=inner.finalize_epoch(state.inner), epoch=state.epoch + 1
         )
 
+    probe = inner_factory(
+        lambda head_params, model_state, key, batch, **kw: loss_fn(
+            head_params, model_state, key, batch, **kw
+        )
+    )
     return PosteriorMethod(
         init=init,
         update=update,
         sample=sample,
         finalize_epoch=finalize_epoch,
-        sample_is_identity=inner.sample_is_identity,
-        multisample=inner.multisample,
+        sample_is_identity=probe.sample_is_identity,
+        multisample=probe.multisample,
     )
