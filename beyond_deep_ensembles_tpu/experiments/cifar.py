@@ -485,6 +485,13 @@ def run_single(config: dict, log=None) -> dict:
     built = build(config, jax.random.key(config["seed"]), steps_per_epoch)
     built = train(built, config, x_train, y_train, log=log)
 
+    if config.get("checkpoint_dir"):
+        # The {model}_final artifact the downstream phases read
+        # (reference cifar.py:98).
+        from ..utils import checkpoint as _ckpt
+
+        _ckpt.save_final(config["checkpoint_dir"], config["model"], built.state)
+
     if config["model"] == "laplace":
         lap = laplace_method(
             built.model,
@@ -525,3 +532,48 @@ def run_single(config: dict, log=None) -> dict:
         )
         results[f"corrupted{intensity}"] = eval_model(built, config, xc, yc).as_dict()
     return results
+
+
+def _rebuild(config: dict):
+    config = {**DEFAULT_CONFIG, **config}
+    x_train, y_train = cifar_data.load_cifar10(True, subsample=config["subsample"])
+    x_test, y_test = cifar_data.load_cifar10(False, subsample=config["test_subsample"])
+    config["dataset_size"] = x_train.shape[0]
+    steps_per_epoch = max(1, x_train.shape[0] // config["batch_size"])
+    built = build(config, jax.random.key(config["seed"]), steps_per_epoch)
+    return config, built, x_train, y_train, x_test, y_test
+
+
+def fit_laplace_phase(config: dict, run_dir: str, log=None) -> dict:
+    """Post-hoc Laplace on a saved ``{model}_final`` checkpoint (reference
+    experiments/cifar fit-laplace protocol via LoaderMock, cifar.py:188-210)."""
+    from ..utils import checkpoint as _ckpt
+
+    config = dict(config)
+    config["model"] = config.get("from_model", "map")
+    config, built, x_train, y_train, x_test, y_test = _rebuild(config)
+    built.state = _ckpt.restore_final(run_dir, config["model"], built.state)
+    lap = laplace_method(
+        built.model, hessian=config["ll_hessian"], regression=False, inner=built.method
+    )
+    built.state = lap.fit(built.state, (jnp.asarray(x_train), jnp.asarray(y_train)))
+    built.method = lap
+    if log:
+        log(f"fit_laplace: prior_prec={float(built.state.prior_prec):.4g}")
+    return {"test": eval_model(built, config, x_test, y_test).as_dict()}
+
+
+def multix_phase(config: dict, run_dirs, leave_out: int = None, log=None) -> dict:
+    """MultiX from independently trained final checkpoints (reference
+    eval_ensembles leave-one-out protocol)."""
+    from . import phases
+    from ..utils import checkpoint as _ckpt
+
+    config, built, _, _, x_test, y_test = _rebuild(dict(config))
+    states = [_ckpt.restore_final(d, config["model"], built.state) for d in run_dirs]
+    built.method, built.state = phases.multix_from_checkpoints(
+        built.method, states, leave_out=leave_out
+    )
+    if log:
+        log(f"multix: {len(run_dirs)} members, leave_out={leave_out}")
+    return {"test": eval_model(built, config, x_test, y_test).as_dict()}

@@ -588,6 +588,13 @@ def run_single(task: str, config: dict, log=None) -> dict:
 
     built = train(built, config, x, y, log=log, epoch_callback=epoch_callback)
 
+    if config.get("checkpoint_dir"):
+        # The {model}_final artifact the downstream phases read
+        # (reference cifar.py:98, consumed by eval_ensembles/fit_laplace).
+        from ..utils import checkpoint as _ckpt
+
+        _ckpt.save_final(config["checkpoint_dir"], config["model"], built.state)
+
     if config["model"] == "laplace":
         lap = laplace_method(
             built.model,
@@ -598,4 +605,61 @@ def run_single(task: str, config: dict, log=None) -> dict:
         built.state = lap.fit(built.state, (jnp.asarray(x), jnp.asarray(y)))
         built.method = lap
 
+    return eval_task(built, task, config, xt, yt, mt)
+
+
+def _load_task_data(task: str, config: dict):
+    x, y, _ = wilds_data.load_wilds(task, "train", subsample=config["subsample"])
+    xt, yt, mt = wilds_data.load_wilds(task, "test", subsample=config["test_subsample"])
+    if config.get("tiny") and not wilds_data.TASKS[task].text:
+        x, xt = x[:, :32, :32, :], xt[:, :32, :32, :]
+    config["dataset_size"] = x.shape[0]
+    config["steps_per_epoch"] = max(1, x.shape[0] // config["batch_size"])
+    return x, y, xt, yt, mt
+
+
+def fit_laplace_phase(task: str, config: dict, run_dir: str, log=None) -> dict:
+    """Post-hoc Laplace on a saved final checkpoint — the reference's
+    per-task ``fit_laplace.py`` scripts (e.g. civilcomments/fit_laplace.py,
+    iwildcam/fit_laplace.py): load ``{model}_final`` from a finished MAP
+    run, fit the GGN Laplace on train data, evaluate on test."""
+    from ..utils import checkpoint as _ckpt
+
+    config = {**DEFAULT_CONFIG, **config}
+    config["model"] = config.get("from_model", "map")
+    x, y, xt, yt, mt = _load_task_data(task, config)
+    built = build(task, config, jax.random.key(config["seed"]), config["steps_per_epoch"])
+    built.state = _ckpt.restore_final(run_dir, config["model"], built.state)
+    lap = laplace_method(
+        built.model,
+        hessian=config["ll_hessian"],
+        regression=built.regression,
+        inner=built.method,
+    )
+    built.state = lap.fit(built.state, (jnp.asarray(x), jnp.asarray(y)))
+    built.method = lap
+    if log:
+        log(f"fit_laplace: prior_prec={float(built.state.prior_prec):.4g}")
+    return eval_task(built, task, config, xt, yt, mt)
+
+
+def multix_phase(
+    task: str, config: dict, run_dirs, leave_out: int = None, log=None
+) -> dict:
+    """MultiX: stack independently trained ``{model}_final`` checkpoints
+    into a deep ensemble and evaluate (reference per-task
+    ``eval_ensembles.py``, leave-one-out over 5 reps,
+    civilcomments/eval_ensembles.py:34-48)."""
+    from . import phases
+    from ..utils import checkpoint as _ckpt
+
+    config = {**DEFAULT_CONFIG, **config}
+    _, _, xt, yt, mt = _load_task_data(task, config)
+    built = build(task, config, jax.random.key(config["seed"]), config["steps_per_epoch"])
+    states = [_ckpt.restore_final(d, config["model"], built.state) for d in run_dirs]
+    built.method, built.state = phases.multix_from_checkpoints(
+        built.method, states, leave_out=leave_out
+    )
+    if log:
+        log(f"multix: {len(run_dirs)} members, leave_out={leave_out}")
     return eval_task(built, task, config, xt, yt, mt)

@@ -372,15 +372,27 @@ def laplace_method(
         params = jax.tree.unflatten(jax.tree.structure(state.params), leaves)
         return params, state.model_state
 
+    # Raised host-side at method construction use, never from inside a jit
+    # trace: a laplace_method without an inner cannot train (reference
+    # protocol: train MAP first, then fit_laplace.py on the checkpoint).
+    _NO_INNER = (
+        "laplace_method(inner=None) is post-hoc only and cannot train. "
+        "Either pass inner=<trainable PosteriorMethod> (as the experiment "
+        "builders do) or train a MAP state separately and call "
+        ".fit(map_state, (x, y)) — e.g. via "
+        "`python -m beyond_deep_ensembles_tpu.run <task> <sweep> --phase fit_laplace` "
+        "(reference experiments/*/fit_laplace.py)."
+    )
+
     def init(key, params, model_state=None):
         if inner is not None:
             return inner.init(key, params, model_state)
-        raise RuntimeError("laplace is post-hoc: train MAP first, then .fit()")
+        raise RuntimeError(_NO_INNER)
 
     def update(state, key, batch):
         if inner is not None:
             return inner.update(state, key, batch)
-        raise RuntimeError("laplace is post-hoc: train MAP first, then .fit()")
+        raise RuntimeError(_NO_INNER)
 
     return LaplacePosterior(
         init=init,

@@ -5,9 +5,18 @@ multi-document YAML sweeps and per-repetition seeding
 (experiments/cifar/cifar.py:250-252, SURVEY.md §5 config system).
 
 Here: ``python -m beyond_deep_ensembles_tpu.run <task> <sweep.yaml>
-[--name VARIANT] [--rep K] [--out results/]``. Tasks: uci, cifar, and the
-seven WILDS tasks. Each variant x repetition trains, evaluates and writes
-metrics JSONL + checkpoints under ``<out>/<variant>/rep_<k>/``.
+[--name VARIANT] [--rep K] [--out results/] [--phase PHASE]``. Tasks: uci,
+cifar, and the seven WILDS tasks. Each variant x repetition trains,
+evaluates and writes metrics JSONL + checkpoints under
+``<out>/<variant>/rep_<k>/``.
+
+Downstream phases (reference per-task ``fit_laplace.py`` /
+``eval_ensembles.py`` scripts, SURVEY.md §2.5) are first-class commands
+reading the ``{model}_final`` checkpoints a train phase wrote:
+
+  --phase fit_laplace   post-hoc Laplace per repetition
+  --phase multix        deep ensemble over the variant's repetitions
+                        (``--leave-out K`` for the leave-one-out protocol)
 """
 from __future__ import annotations
 
@@ -45,6 +54,26 @@ def run_task(task: str, params: dict, log) -> dict:
     raise ValueError(f"unknown task {task!r}")
 
 
+def run_phase(task: str, phase: str, params: dict, run_dirs, log, leave_out=None):
+    """Dispatch a checkpoint-driven downstream phase. ``run_dirs`` is the
+    single rep dir (fit_laplace) or the variant's rep dirs (multix)."""
+    if task == "cifar":
+        from .experiments import cifar
+
+        if phase == "fit_laplace":
+            return cifar.fit_laplace_phase(params, run_dirs[0], log=log.info)
+        return cifar.multix_phase(params, run_dirs, leave_out=leave_out, log=log.info)
+    if task in WILDS_TASKS:
+        from .experiments import wilds_task
+
+        if phase == "fit_laplace":
+            return wilds_task.fit_laplace_phase(task, params, run_dirs[0], log=log.info)
+        return wilds_task.multix_phase(
+            task, params, run_dirs, leave_out=leave_out, log=log.info
+        )
+    raise ValueError(f"phase {phase!r} not supported for task {task!r}")
+
+
 def _enable_cache():
     try:
         from beyond_deep_ensembles_tpu.utils.compile_cache import enable_compilation_cache
@@ -65,18 +94,60 @@ def main(argv=None):
     parser.add_argument("--rep", type=int, default=None, help="run only this repetition")
     parser.add_argument("--out", default="results")
     parser.add_argument("--wandb", action="store_true")
+    parser.add_argument(
+        "--phase",
+        default="train",
+        choices=("train", "fit_laplace", "multix"),
+        help="train, or a checkpoint-driven downstream phase",
+    )
+    parser.add_argument(
+        "--leave-out",
+        type=int,
+        default=None,
+        help="multix: exclude this repetition (leave-one-out protocol)",
+    )
     args = parser.parse_args(argv)
 
     for spec in load_sweep(args.sweep, name=args.name):
         reps = range(spec["repetitions"]) if args.rep is None else [args.rep]
+        variant_dir = os.path.join(args.out, f"{spec['name']}_{spec['variant']}")
+
+        if args.phase == "multix":
+            params = dict(spec["params"])
+            run_dirs = [
+                os.path.join(variant_dir, f"rep_{r}") for r in range(spec["repetitions"])
+            ]
+            tag = "multix" if args.leave_out is None else f"multix_lo{args.leave_out}"
+            log = RunLogger(
+                os.path.join(variant_dir, tag),
+                name=f"{spec['name']}/{tag}",
+                use_wandb=args.wandb,
+                config=params,
+            )
+            results = run_phase(
+                args.task, "multix", params, run_dirs, log, leave_out=args.leave_out
+            )
+            log.metrics(results)
+            log.info(f"results: {json.dumps(results, default=float)}")
+            log.close()
+            continue
+
         for rep in reps:
             params = {**spec["params"], "seed": rep + spec["params"].get("seed_offset", 0)}
-            out_dir = os.path.join(
-                args.out, f"{spec['name']}_{spec['variant']}", f"rep_{rep}"
-            )
-            log = RunLogger(out_dir, name=f"{spec['name']}/r{rep}", use_wandb=args.wandb, config=params)
-            log.info(f"config: {json.dumps(params, default=str)[:500]}")
-            results = run_task(args.task, params, log)
+            out_dir = os.path.join(variant_dir, f"rep_{rep}")
+            if args.phase == "fit_laplace":
+                log = RunLogger(
+                    os.path.join(out_dir, "fit_laplace"),
+                    name=f"{spec['name']}/r{rep}/laplace",
+                    use_wandb=args.wandb,
+                    config=params,
+                )
+                results = run_phase(args.task, "fit_laplace", params, [out_dir], log)
+            else:
+                params.setdefault("checkpoint_dir", out_dir)
+                log = RunLogger(out_dir, name=f"{spec['name']}/r{rep}", use_wandb=args.wandb, config=params)
+                log.info(f"config: {json.dumps(params, default=str)[:500]}")
+                results = run_task(args.task, params, log)
             log.metrics(results)
             log.info(f"results: {json.dumps(results, default=float)}")
             log.close()

@@ -1,0 +1,63 @@
+"""End-to-end CLI phases: train writes {model}_final, then the
+fit_laplace / multix downstream phases consume it — the reference's
+per-task fit_laplace.py / eval_ensembles.py checkpoint protocol
+(civilcomments/eval_ensembles.py:34-48, SURVEY.md §2.5)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from beyond_deep_ensembles_tpu import run as cli
+
+SWEEP = """
+---
+name: "DEFAULT"
+repetitions: 2
+params:
+  tiny: true
+  epochs: 1
+  batch_size: 16
+  eval_batch_size: 32
+  eval_samples: 2
+  subsample: 48
+  test_subsample: 48
+---
+name: "MAP"
+params: {model: "map"}
+"""
+
+
+def _read_metrics(path):
+    with open(path) as f:
+        return [json.loads(line) for line in f]
+
+
+@pytest.mark.slow
+def test_train_then_phases(tmp_path):
+    sweep = tmp_path / "sweep.yaml"
+    sweep.write_text(SWEEP)
+    out = str(tmp_path / "results")
+
+    # Phase 1: train both repetitions; each writes map_final.
+    cli.main(["camelyon17", str(sweep), "--out", out])
+    for rep in range(2):
+        rep_dir = os.path.join(out, "MAP_0", f"rep_{rep}")
+        assert os.path.isdir(os.path.join(rep_dir, "map_final")), rep_dir
+
+    # Phase 2: post-hoc Laplace on each rep's saved MAP checkpoint.
+    cli.main(["camelyon17", str(sweep), "--out", out, "--phase", "fit_laplace", "--rep", "0"])
+    lap_metrics = _read_metrics(
+        os.path.join(out, "MAP_0", "rep_0", "fit_laplace", "metrics.jsonl")
+    )
+    assert np.isfinite(lap_metrics[-1]["accuracy"])
+
+    # Phase 3: MultiX over the two reps (plus leave-one-out variant).
+    cli.main(["camelyon17", str(sweep), "--out", out, "--phase", "multix"])
+    mx = _read_metrics(os.path.join(out, "MAP_0", "multix", "metrics.jsonl"))
+    assert np.isfinite(mx[-1]["ece"])
+
+    cli.main(
+        ["camelyon17", str(sweep), "--out", out, "--phase", "multix", "--leave-out", "1"]
+    )
+    assert os.path.exists(os.path.join(out, "MAP_0", "multix_lo1", "metrics.jsonl"))
