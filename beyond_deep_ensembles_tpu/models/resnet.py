@@ -170,7 +170,13 @@ class PreBasicBlock(nn.Module):
 class Bottleneck(nn.Module):
     """Standard bottleneck (1x1 reduce, 3x3, 1x1 expand); projection skip
     whenever shape changes. The reference's version is broken — see module
-    docstring."""
+    docstring.
+
+    torchvision=True reproduces torchvision's resnet50 block exactly
+    (bias-free convs, BatchNorm after the downsample projection, v1.5
+    stride placement on the 3x3) so pretrained torchvision checkpoints
+    transplant with logit parity (reference iwildcam/models.py:171,
+    rxrx1/models.py:21 use torchvision.models.resnet50 pretrained)."""
 
     features: int  # output channels (= 4 * bottleneck width)
     stride: int = 1
@@ -179,6 +185,7 @@ class Bottleneck(nn.Module):
     dropout_p: Optional[float] = None
     conv_kind: str = "plain"
     components: int = 1
+    torchvision: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
@@ -203,21 +210,24 @@ class Bottleneck(nn.Module):
             )
             return call_layer(layer, h, train, component)
 
-        h = conv(x, width, 1, 1, 0)
+        bias = not self.torchvision  # torchvision convs are bias-free
+        h = conv(x, width, 1, 1, 0, use_bias=bias)
         h = drop(h)
         h = _Norm(nk)(h, train=train)
         h = act(h)
-        h = conv(h, width, 3, self.stride, 1)
+        h = conv(h, width, 3, self.stride, 1, use_bias=bias)
         h = drop(h)
         h = _Norm(nk)(h, train=train)
         h = act(h)
-        h = conv(h, self.features, 1, 1, 0)
+        h = conv(h, self.features, 1, 1, 0, use_bias=bias)
         h = drop(h)
         h = _Norm(nk)(h, train=train)
 
         if self.stride != 1 or x.shape[-1] != self.features:
             skip = conv(x, self.features, 1, self.stride, 0, use_bias=False)
             skip = drop(skip)
+            if self.torchvision:
+                skip = _Norm(nk)(skip, train=train)
         else:
             skip = x
         return act(h + skip)
@@ -370,13 +380,23 @@ class ResNet50(nn.Module):
     features_only: bool = False  # return pooled features (SNGP featurizer cut)
     dtype: jnp.dtype = jnp.float32  # compute dtype for conv/dense (bf16 on TPU)
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    torchvision: bool = False  # exact torchvision topology for weight transplant
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
         stem = make_conv(
-            self.conv_kind, 64, (7, 7), strides=2, padding=3, components=self.components
+            self.conv_kind,
+            64,
+            (7, 7),
+            strides=2,
+            padding=3,
+            components=self.components,
+            use_bias=not self.torchvision,
         )
         h = call_layer(stem, x, train, component)
+        if self.torchvision:
+            h = _Norm(_norm_kind(self.norm, self.conv_kind))(h, train=train)
+            h = _activation(self.activation)(h)
         if self.dropout_p is not None:
             h = FixableDropout(self.dropout_p)(h, train=train)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -393,6 +413,7 @@ class ResNet50(nn.Module):
                     self.dropout_p,
                     self.conv_kind,
                     self.components,
+                    torchvision=self.torchvision,
                 )(h, train=train, component=component)
 
         h = jnp.mean(h, axis=(1, 2))

@@ -2,81 +2,110 @@
 
 The reference uses torchvision ``resnet50``/``densenet121`` pretrained
 backbones for iWildCam/RxRx1/FMoW (SURVEY.md §2.2,
-experiments/iwildcam/models.py:3). This framework's ResNet-50 follows the
-standard torchvision block topology (corrected bottleneck, see
-models/resnet.py), so a saved ``state_dict`` (torch ``.pt``/``.pth``)
-maps onto our parameter tree:
+experiments/iwildcam/models.py:3). ``ResNet50(torchvision=True)``
+reproduces the torchvision topology exactly, so a saved ``state_dict``
+(torch ``.pt``/``.pth``) transplants with logit parity:
 
   conv weights  [O,I,H,W] -> [H,W,I,O]
   linear        [O,I]     -> [I,O]
-  batchnorm     weight/bias -> scale/bias (running stats dropped — the
-                benchmark uses static BN, batch stats at eval)
+  norm weight   -> flax 'scale';  norm/linear bias -> flax 'bias'
+  running stats dropped (the benchmark uses static BN: batch stats at
+  eval, reference iwildcam/models.py:53-55 static_bn patch)
 
-Conversion is ORDER-BASED within matched leaf classes: both trees are
-traversed in topological order and consumed greedily by kind+shape. This
-is exact for architectures with identical layer order and loud (raises)
-otherwise.
+Matching is order-based WITHIN kind buckets (conv / dense / scale /
+bias): both trees are enumerated in definition order — torch state_dicts
+are insertion-ordered; flax paths are sorted with a numeric-aware key so
+``Bottleneck_10`` follows ``Bottleneck_9``, not ``Bottleneck_1`` — and
+consumed greedily by shape. Exact for architectures with identical layer
+order; loud (raises) when too little matches.
 """
 from __future__ import annotations
 
+import re
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+_NUM_RE = re.compile(r"(\d+)")
 
-def _classify_torch(key: str, arr: np.ndarray):
+
+def _natural_key(path) -> tuple:
+    """Numeric-aware sort key over a flax key path, so module auto-names
+    sort in definition order (Conv_2 < Conv_10)."""
+    parts = []
+    for p in path:
+        name = getattr(p, "key", getattr(p, "name", str(p)))
+        parts.extend(
+            int(tok) if tok.isdigit() else tok for tok in _NUM_RE.split(str(name))
+        )
+    return tuple((0, t) if isinstance(t, int) else (1, t) for t in parts)
+
+
+def _leaf_kind(path, leaf) -> str:
+    name = getattr(path[-1], "key", getattr(path[-1], "name", str(path[-1])))
+    if leaf.ndim >= 3:
+        return "conv"
+    if leaf.ndim == 2:
+        return "dense"
+    if str(name) in ("scale", "gamma", "weight"):
+        return "scale"
+    return "bias"
+
+
+def _torch_kind(key: str, arr: np.ndarray):
     if key.endswith("num_batches_tracked") or "running_" in key:
         return None  # dropped: static BN uses batch statistics
     if arr.ndim == 4:
-        return ("conv", tuple(np.transpose(arr, (2, 3, 1, 0)).shape))
+        return "conv"
     if arr.ndim == 2:
-        return ("dense", tuple(arr.T.shape))
+        return "dense"
     if arr.ndim == 1:
-        if ".bn" in key or "norm" in key or key.endswith((".weight",)) and arr.ndim == 1:
-            return ("vec", arr.shape)
-        return ("vec", arr.shape)
-    return ("other", arr.shape)
+        return "bias" if key.endswith(".bias") else "scale"
+    return None
 
 
 def convert_torch_state_dict(state_dict: Dict[str, "object"], flax_params):
     """Map a torch state_dict onto ``flax_params``' structure (see module
     docstring). Returns the filled parameter pytree."""
-    entries = []
+    buckets: dict = {"conv": [], "dense": [], "scale": [], "bias": []}
+    total = 0
     for k, v in state_dict.items():
         arr = np.asarray(v.detach().numpy() if hasattr(v, "detach") else v, np.float32)
-        kind = _classify_torch(k, arr)
+        kind = _torch_kind(k, arr)
         if kind is None:
             continue
-        if arr.ndim == 4:
+        if kind == "conv":
             arr = np.transpose(arr, (2, 3, 1, 0))
-        elif arr.ndim == 2:
+        elif kind == "dense":
             arr = arr.T
-        entries.append((k, arr))
+        buckets[kind].append([k, arr, False])
+        total += 1
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(flax_params)
-    used = [False] * len(entries)
-    out = []
-    for path, leaf in flat:
+    order = sorted(range(len(flat)), key=lambda i: _natural_key(flat[i][0]))
+    out = [None] * len(flat)
+    for i in order:
+        path, leaf = flat[i]
+        kind = _leaf_kind(path, leaf)
         shape = tuple(leaf.shape)
         found = None
-        for i, (k, arr) in enumerate(entries):
-            if not used[i] and tuple(arr.shape) == shape:
-                found, used[i] = arr, True
+        for entry in buckets.get(kind, ()):
+            if not entry[2] and tuple(entry[1].shape) == shape:
+                found, entry[2] = entry[1], True
                 break
-        if found is None:
-            # leave at init (heads with different class counts, FRN, etc.)
-            out.append(leaf)
-        else:
-            out.append(jnp.asarray(found, leaf.dtype))
-    unmatched = sum(1 for u in used if not u)
-    if unmatched > len(entries) * 0.5:
+        # unmatched leaves stay at init (heads with different class
+        # counts, FRN params, variational rho, ...)
+        out[i] = leaf if found is None else jnp.asarray(found, leaf.dtype)
+
+    unmatched = sum(1 for b in buckets.values() for e in b if not e[2])
+    if total and unmatched > total * 0.5:
         raise ValueError(
-            f"conversion matched too little: {unmatched}/{len(entries)} torch "
+            f"conversion matched too little: {unmatched}/{total} torch "
             "tensors unused — architecture mismatch?"
         )
-    return jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(flax_params), out)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def load_torch_backbone(path: str, flax_params):

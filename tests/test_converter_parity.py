@@ -1,0 +1,156 @@
+"""Hermetic pretrained-path validation: random-weight torch models are
+converted and must match the flax forward to float tolerance — so
+converter bugs can't hide until real pretrained weights arrive
+(reference pretrained backbones: iwildcam/models.py:171 torchvision
+resnet50, src/architectures/bert.py:14 DistilBertModel)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+from beyond_deep_ensembles_tpu.models.resnet import ResNet50  # noqa: E402
+from beyond_deep_ensembles_tpu.models.torch_convert import (  # noqa: E402
+    convert_torch_state_dict,
+)
+from beyond_deep_ensembles_tpu.nn.base import Model  # noqa: E402
+
+
+class _TorchBottleneck(tnn.Module):
+    """torchvision.models.resnet.Bottleneck (v1.5 stride placement)."""
+
+    def __init__(self, cin, width, cout, stride):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
+        self.conv2 = tnn.Conv2d(width, width, 3, stride=stride, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(width)
+        self.conv3 = tnn.Conv2d(width, cout, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, cout, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(cout),
+            )
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        h = torch.relu(self.bn1(self.conv1(x)))
+        h = torch.relu(self.bn2(self.conv2(h)))
+        h = self.bn3(self.conv3(h))
+        return torch.relu(h + idt)
+
+
+class _TorchResNet50(tnn.Module):
+    """torchvision resnet50 topology (stage sizes configurable so the
+    parity check also runs at CPU-test scale)."""
+
+    def __init__(self, classes, stages=(3, 4, 6, 3)):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+        blocks, cin = [], 64
+        for stage, n in enumerate(stages):
+            cout = 256 * 2**stage
+            for b in range(n):
+                stride = 2 if (stage > 0 and b == 0) else 1
+                blocks.append(_TorchBottleneck(cin, cout // 4, cout, stride))
+                cin = cout
+        self.layers = tnn.Sequential(*blocks)
+        self.fc = tnn.Linear(cin, classes)
+
+    def forward(self, x):
+        h = torch.relu(self.bn1(self.conv1(x)))
+        h = self.maxpool(h)
+        h = self.layers(h)
+        return self.fc(h.mean(dim=(2, 3)))
+
+
+def _resnet_parity(stages, size, atol):
+    torch.manual_seed(0)
+    tmodel = _TorchResNet50(classes=7, stages=stages)
+    tmodel.train()  # batch-stats BN, matching StaticBatchNorm
+
+    fmodel = Model(
+        ResNet50(classes=7, norm="batch_static", torchvision=True, stage_sizes=stages)
+    )
+    x = np.random.RandomState(0).rand(2, size, size, 3).astype(np.float32)
+    params, state = fmodel.init(jax.random.key(0), jnp.asarray(x))
+    params = convert_torch_state_dict(tmodel.state_dict(), params)
+
+    with torch.no_grad():
+        ref = tmodel(torch.tensor(np.moveaxis(x, -1, 1))).numpy()
+    out, _, _ = fmodel.apply(params, state, None, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=atol, rtol=1e-3)
+
+
+def test_resnet50_small_stages_logit_parity():
+    # 4-block variant: same block/converter code paths, CPU-test sized.
+    _resnet_parity(stages=(1, 1, 1, 1), size=40, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_resnet50_full_logit_parity():
+    # The real 16-block torchvision topology.
+    _resnet_parity(stages=(3, 4, 6, 3), size=64, atol=1e-3)
+
+
+def test_distilbert_logit_parity(tmp_path):
+    transformers = pytest.importorskip("transformers")
+    from flax import linen as nn
+
+    from beyond_deep_ensembles_tpu.models.bert import (
+        DistilBertConfig as OurConfig,
+        DistilBertEncoder,
+        load_hf_weights,
+    )
+
+    hf_cfg = transformers.DistilBertConfig(
+        vocab_size=1024,
+        dim=64,
+        n_layers=2,
+        n_heads=2,
+        hidden_dim=128,
+        dropout=0.0,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(1)
+    tmodel = transformers.DistilBertModel(hf_cfg).eval()
+    torch.save(tmodel.state_dict(), tmp_path / "pytorch_model.bin")
+
+    cfg = OurConfig(
+        vocab_size=1024, dim=64, n_layers=2, n_heads=2, hidden_dim=128, dropout=0.0
+    )
+
+    class EncoderOnly(nn.Module):
+        @nn.compact
+        def __call__(self, ids, mask, train: bool = False):
+            return DistilBertEncoder(cfg, name="bert")(ids, mask, train=train)
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, 1024, (2, 16)).astype(np.int32)
+    mask = np.ones((2, 16), np.int32)
+    mask[1, 10:] = 0  # exercise key masking too
+
+    enc = EncoderOnly()
+    variables = enc.init(jax.random.key(0), jnp.asarray(ids), jnp.asarray(mask))
+    params = load_hf_weights(variables["params"], str(tmp_path))
+    ours = enc.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+
+    with torch.no_grad():
+        ref = tmodel(
+            input_ids=torch.tensor(ids.astype(np.int64)),
+            attention_mask=torch.tensor(mask.astype(np.int64)),
+        ).last_hidden_state.numpy()
+    # padded positions are masked as attention KEYS but their own hidden
+    # states are junk in both frameworks; compare valid positions
+    np.testing.assert_allclose(
+        np.asarray(ours)[0], ref[0], atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours)[1, :10], ref[1, :10], atol=2e-4, rtol=1e-3
+    )
