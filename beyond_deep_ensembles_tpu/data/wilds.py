@@ -63,7 +63,11 @@ TASKS = {
 
 
 def _synthetic(spec: TaskSpec, n: int, seed: int):
+    # NOTE: float32 Generator noise, sized to the requested n only — the
+    # poverty spec is 224x224x8, so a float64 full-split draw is gigabytes
+    # and minutes of RNG (the round-1 suite stalled exactly there).
     rng = np.random.RandomState(seed)
+    fast = np.random.default_rng(seed)
     n_classes = max(spec.classes, 2)
     y = (
         rng.randn(n, 1).astype(np.float32)
@@ -85,7 +89,8 @@ def _synthetic(spec: TaskSpec, n: int, seed: int):
         cls = y.astype(int).reshape(-1) % n_classes
         h, w = spec.input_shape[:2]
         imgs = base[cls].repeat(h // 4, axis=1).repeat(w // 4, axis=2)
-        x = (0.2 * imgs + 0.1 * rng.randn(n, *spec.input_shape)).astype(np.float32)
+        noise = fast.standard_normal((n,) + spec.input_shape, dtype=np.float32)
+        x = 0.2 * imgs + 0.1 * noise
     # metadata: group ids (8 binary identity columns for civilcomments,
     # region/urban for poverty, location otherwise)
     if spec.name == "civilcomments":
@@ -108,13 +113,15 @@ def load_wilds(
     if os.path.exists(path):
         with np.load(path) as f:
             x, y, meta = f["x"], f["y"], f["meta"]
-    else:
-        n = {"train": 2048, "val": 512, "test": 512, "id_val": 512}[split]
-        x, y, meta = _synthetic(spec, n, seed + hash((task, split)) % 1000)
+        if subsample is not None:
+            k = int(len(x) * subsample) if subsample <= 1 else int(subsample)
+            x, y, meta = x[:k], y[:k], meta[:k]
+        return x, y, meta
+    # synthetic fallback: size the generation to the subsample directly
+    n = {"train": 2048, "val": 512, "test": 512, "id_val": 512}[split]
     if subsample is not None:
-        k = int(len(x) * subsample) if subsample <= 1 else int(subsample)
-        x, y, meta = x[:k], y[:k], meta[:k]
-    return x, y, meta
+        n = min(n, int(n * subsample) if subsample <= 1 else int(subsample))
+    return _synthetic(spec, n, seed + hash((task, split)) % 1000)
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the e2e tests' conv-net programs dominate
+# suite wall time on this single-core host; caching makes re-runs cheap.
+try:
+    from beyond_deep_ensembles_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:
+    pass
+
 assert jax.device_count() == 8, (
     f"expected the 8-device virtual CPU mesh, got {jax.devices()} — "
     "was a backend initialized before conftest?"

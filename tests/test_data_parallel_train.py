@@ -1,6 +1,9 @@
 """Data-parallel CIFAR training path over the 8-device virtual mesh."""
 import jax
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-device conv-net compiles dominate
 
 
 def test_cifar_data_parallel_tiny():

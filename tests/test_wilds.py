@@ -61,6 +61,7 @@ TINY = {
 }
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("model", ["map", "swag_ll", "ll_ivon"])
 def test_camelyon_tiny_e2e(model):
     res = wilds_task.run_single("camelyon17", {**TINY, "model": model})
@@ -68,12 +69,14 @@ def test_camelyon_tiny_e2e(model):
     assert np.isfinite(res["ece"])
 
 
+@pytest.mark.slow
 def test_civilcomments_bert_tiny():
     res = wilds_task.run_single("civilcomments", {**TINY, "model": "bbb"})
     assert "worst_group_acc" in res
     assert np.isfinite(res["avg_log_likelihood"])
 
 
+@pytest.mark.slow
 def test_poverty_regression_tiny():
     res = wilds_task.run_single("poverty", {**TINY, "model": "map"})
     assert "r_worst" in res and "avg_lml" in res
