@@ -18,6 +18,7 @@ load_hf_weights) and random init is used when no checkpoint is on disk.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable
 
 import flax.linen as nn
@@ -119,6 +120,9 @@ def _make_backbone(task: str, config: dict, kind: str, dropout_p=None, head_kind
                 components=components,
                 dropout_p=dropout_p,
                 stage_sizes=(1, 1) if tiny else (3, 4, 6, 3),
+                # exact torchvision topology so pretrained checkpoints
+                # transplant (reference iwildcam/models.py:171)
+                torchvision=config.get("torchvision_arch", False),
             )
         )
     if task == "poverty":
@@ -229,7 +233,50 @@ def _tx(config):
     )
 
 
+def _pretrained_path(task: str, config: dict):
+    """Locate pretrained backbone weights (reference: torchvision resnet50
+    for iwildcam/rxrx1, densenet121 for fmow, HF distilbert for the text
+    tasks — iwildcam/models.py:171, fmow/models.py:135, bert.py:14).
+
+    config['pretrained_path'] wins; otherwise 'auto' looks under
+    $BDE_DATA_DIR/pretrained/{resnet50,densenet121}.pth and
+    $BDE_DATA_DIR/distilbert-base-uncased/. config['pretrained']=False
+    disables (random init, as all tests/hermetic runs use)."""
+    explicit = config.get("pretrained_path")
+    if explicit:
+        return explicit
+    if not config.get("pretrained", True):
+        return None
+    from ..data.uci import data_dir
+
+    fname = {"iwildcam": "resnet50.pth", "rxrx1": "resnet50.pth",
+             "fmow": "densenet121.pth", "camelyon17": None}.get(task)
+    if fname:
+        cand = os.path.join(data_dir(), "pretrained", fname)
+        if os.path.exists(cand):
+            return cand
+    if wilds_data.TASKS[task].text:
+        d = os.path.join(data_dir(), "distilbert-base-uncased")
+        if os.path.exists(os.path.join(d, "pytorch_model.bin")):
+            return d
+    return None
+
+
+def _load_pretrained(task: str, params, path: str):
+    if wilds_data.TASKS[task].text:
+        from ..models.bert import load_hf_weights
+
+        return load_hf_weights(params, path)
+    from ..models.torch_convert import load_torch_backbone
+
+    return load_torch_backbone(path, params)
+
+
 def build(task: str, config: dict, key: jax.Array, steps_per_epoch: int) -> BuiltExperiment:
+    config = dict(config)
+    pre_path = _pretrained_path(task, config)
+    if pre_path and task in ("iwildcam", "rxrx1"):
+        config.setdefault("torchvision_arch", True)
     name = config["model"]
     spec = wilds_data.TASKS[task]
     regression = spec.classes == 1
@@ -352,16 +399,26 @@ def build(task: str, config: dict, key: jax.Array, steps_per_epoch: int) -> Buil
 
     apply_fn = _predict_fn(model, regression)
 
+    def init_params(k):
+        params, ms = model.init(k, example)
+        if pre_path:
+            # every member/particle starts from the pretrained backbone
+            # (heads and variational std leaves stay at their random init,
+            # matching the reference's make_module_bbb over a pretrained
+            # net, bbb_layers.py:278-300)
+            params = _load_pretrained(task, params, pre_path)
+        return params, ms
+
     if particles is not None:
         keys = jax.random.split(k_model, particles)
-        pairs = [model.init(k, example) for k in keys]
+        pairs = [init_params(k) for k in keys]
         stacked = tree_stack([p for p, _ in pairs])
         state = inner.init(k_method, stacked, pairs[0][1])
         return BuiltExperiment(model, inner, state, apply_fn, regression)
     if members > 1:
         method = deep_ensemble(inner, members)
         keys = jax.random.split(k_model, members)
-        pairs = [model.init(k, example) for k in keys]
+        pairs = [init_params(k) for k in keys]
         stacked = tree_stack([p for p, _ in pairs])
         ms = (
             jax.tree.map(lambda *ls: jnp.stack(ls), *[s for _, s in pairs])
@@ -370,7 +427,7 @@ def build(task: str, config: dict, key: jax.Array, steps_per_epoch: int) -> Buil
         )
         state = method.init(k_method, stacked, ms)
         return BuiltExperiment(model, method, state, apply_fn, regression)
-    params, ms = model.init(k_model, example)
+    params, ms = init_params(k_model)
     state = inner.init(k_method, params, ms)
     return BuiltExperiment(model, inner, state, apply_fn, regression)
 

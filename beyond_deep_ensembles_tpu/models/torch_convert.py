@@ -44,12 +44,18 @@ def _natural_key(path) -> tuple:
 
 
 def _leaf_kind(path, leaf) -> str:
-    name = getattr(path[-1], "key", getattr(path[-1], "name", str(path[-1])))
+    name = str(getattr(path[-1], "key", getattr(path[-1], "name", str(path[-1]))))
+    # Variational std / MLE-only leaves keep their init — pretrained
+    # transplant fills only the means (the reference converts pretrained
+    # nets in place, leaving rho at its Blundell init,
+    # bbb_layers.py:278-300 make_module_bbb).
+    if name.endswith(("__grho", "__mle", "_rho")) or name == "rho":
+        return "skip"
     if leaf.ndim >= 3:
         return "conv"
     if leaf.ndim == 2:
         return "dense"
-    if str(name) in ("scale", "gamma", "weight"):
+    if name in ("scale", "gamma", "weight"):
         return "scale"
     return "bias"
 

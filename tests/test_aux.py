@@ -1,5 +1,6 @@
 """Auxiliary components: schedules, losses, text packing, tiramisu,
 plotting tables, torch checkpoint conversion, parallel trainer."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -80,6 +81,7 @@ def test_text_packing():
     assert packed[1, :, 1].sum() == 3  # CLS + 1 word + SEP
 
 
+@pytest.mark.slow
 def test_tiramisu_shapes():
     from beyond_deep_ensembles_tpu.models.tiramisu import MidasTiramisu
     from beyond_deep_ensembles_tpu.nn.base import Model

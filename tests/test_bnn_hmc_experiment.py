@@ -5,6 +5,7 @@ import os
 import tempfile
 
 import flax.linen as nn
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -83,6 +84,7 @@ def test_run_sgmcmc_and_vi_learn_blobs():
     assert acc > 0.5
 
 
+@pytest.mark.slow
 def test_wilson_hmc_agreement_pipeline():
     from beyond_deep_ensembles_tpu.data.wilson import WilsonHMC
     from beyond_deep_ensembles_tpu.evals.classification import analyze_output

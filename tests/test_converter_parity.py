@@ -88,6 +88,7 @@ def _resnet_parity(stages, size, atol):
     np.testing.assert_allclose(np.asarray(out), ref, atol=atol, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_resnet50_small_stages_logit_parity():
     # 4-block variant: same block/converter code paths, CPU-test sized.
     _resnet_parity(stages=(1, 1, 1, 1), size=40, atol=2e-4)
@@ -99,6 +100,54 @@ def test_resnet50_full_logit_parity():
     _resnet_parity(stages=(3, 4, 6, 3), size=64, atol=1e-3)
 
 
+def test_wilds_pretrained_backbone_wiring(tmp_path, monkeypatch):
+    """The experiment builder finds staged pretrained weights, switches to
+    the torchvision topology and transplants them into every member
+    (reference iwildcam/models.py:171 pretrained resnet50)."""
+    import os
+
+    from beyond_deep_ensembles_tpu.experiments import wilds_task
+
+    monkeypatch.setenv("BDE_DATA_DIR", str(tmp_path))
+    os.makedirs(tmp_path / "pretrained")
+    torch.manual_seed(0)
+    tmodel = _TorchResNet50(classes=182, stages=(1, 1))  # tiny=(1,1) stages
+    torch.save(tmodel.state_dict(), tmp_path / "pretrained" / "resnet50.pth")
+
+    config = {
+        **wilds_task.DEFAULT_CONFIG,
+        "model": "map",
+        "tiny": True,
+        "dataset_size": 64,
+        "steps_per_epoch": 2,
+    }
+    built = wilds_task.build("iwildcam", config, jax.random.key(0), 2)
+
+    stem = np.transpose(tmodel.conv1.weight.detach().numpy(), (2, 3, 1, 0))
+    leaves = {
+        tuple(str(getattr(p, "key", p)) for p in path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(built.state.params)[0]
+    }
+    match = [
+        np.allclose(np.asarray(v), stem)
+        for k, v in leaves.items()
+        if v.shape == stem.shape and "kernel" in k[-1]
+    ]
+    assert any(match), "stem conv was not transplanted"
+
+    # pretrained=False keeps random init
+    built2 = wilds_task.build(
+        "iwildcam", {**config, "pretrained": False}, jax.random.key(0), 2
+    )
+    leaves2 = jax.tree.leaves(built2.state.params)
+    assert not any(
+        np.allclose(np.asarray(v), stem)
+        for v in leaves2
+        if v.shape == stem.shape
+    )
+
+
+@pytest.mark.slow
 def test_distilbert_logit_parity(tmp_path):
     transformers = pytest.importorskip("transformers")
     from flax import linen as nn

@@ -1,4 +1,5 @@
 """Loss-surface plane, STL-10 loader, eval_hmc pipeline."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,6 +35,7 @@ def test_stl10_loader_shapes():
     assert np.isfinite(x).all()
 
 
+@pytest.mark.slow
 def test_eval_hmc_pipeline():
     from beyond_deep_ensembles_tpu.experiments.cifar import eval_hmc
 

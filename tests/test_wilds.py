@@ -40,10 +40,11 @@ def test_pearson_and_poverty_metric():
 
 def test_load_shapes():
     for task in ["camelyon17", "civilcomments", "poverty"]:
-        x, y, meta = W.load_wilds(task, "test")
+        # subsample keeps the synthetic draw small (poverty is 224x224x8)
+        x, y, meta = W.load_wilds(task, "test", subsample=16)
         spec = W.TASKS[task]
         assert x.shape[1:] == spec.input_shape
-        assert len(x) == len(y) == len(meta)
+        assert len(x) == len(y) == len(meta) == 16
     x, y, meta = W.load_wilds("camelyon17", "train", subsample=0.25)
     assert len(x) == 512
 
