@@ -10,6 +10,8 @@ device-bound throughput.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -18,10 +20,13 @@ def make_multi_step(update, k: int):
     """Returns multi(state, key, stacked_batches) -> (state, metrics).
 
     stacked_batches: pytree of arrays with leading axis k (k minibatches).
-    metrics are averaged over the k steps.
+    metrics are averaged over the k steps. The incoming state is DONATED —
+    XLA updates parameters/optimizer state in place instead of copying the
+    whole tree through HBM every call; callers must rebind the result
+    (every train loop does).
     """
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def multi(state, key, stacked_batches):
         keys = jax.random.split(key, k)
 
@@ -57,7 +62,8 @@ def make_epoch_runner(update, n_data: int, batch_size: int):
     """
     steps = n_data // batch_size
 
-    @jax.jit
+    # state donated (in-place update); data is NOT — it is reused every epoch.
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def epoch(state, key, data):
         k_perm, k_steps = jax.random.split(key)
         perm = jax.random.permutation(k_perm, n_data)[: steps * batch_size]
