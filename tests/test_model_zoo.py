@@ -51,7 +51,8 @@ def test_lenet_hmc_smoke():
     from beyond_deep_ensembles_tpu.experiments.bnn_hmc import run_hmc
 
     rng = np.random.RandomState(0)
-    x = rng.rand(64, 8, 8, 1).astype(np.float32)
+    # 16x16 is the smallest input that survives the three 3/2 max-pools
+    x = rng.rand(64, 16, 16, 1).astype(np.float32)
     y = rng.randint(0, 10, 64)
     model = get_model("lenet", num_classes=10)
     out = run_hmc(
