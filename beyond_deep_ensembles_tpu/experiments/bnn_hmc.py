@@ -187,6 +187,75 @@ def run_sgmcmc(
     return method, state
 
 
+def run_sgd(
+    model,
+    train_arrays,
+    n_epochs: int = 10,
+    batch_size: int = 128,
+    lr: float = 1e-2,
+    momentum: float = 0.9,
+    prior_std: float = 1.0,
+    schedule: str = "cosine",
+    seed: int = 0,
+    run_dir: Optional[str] = None,
+    log=None,
+):
+    """MAP/SGD training (reference run_sgd.py): the baseline that seeds
+    deep ensembles of independently-trained solutions. Gaussian log-prior
+    folded into the loss (reference losses.py:53-73 make_gaussian_log_prior
+    scaled by 1/N), cosine or constant LR, optional checkpoint/auto-resume."""
+    import optax
+
+    from ..methods import map_method
+
+    log = log or VoidLog()
+    x, y = train_arrays
+    example = jnp.asarray(x[:2])
+    params, model_state = model.init(jax.random.key(seed), example)
+    n_data = x.shape[0]
+    base_loss = xent_loss_fn(model)
+
+    def loss_fn(p, ms, key, batch):
+        out = base_loss(p, ms, key, batch)
+        sq = sum(jnp.sum(l.astype(jnp.float32) ** 2) for l in jax.tree.leaves(p))
+        prior = sq / (2 * prior_std**2 * n_data)
+        return out._replace(loss=out.loss + prior)
+
+    steps_per_epoch = max(1, n_data // batch_size)
+    if schedule == "cosine":
+        lr_sched = optax.cosine_decay_schedule(lr, n_epochs * steps_per_epoch)
+    else:
+        lr_sched = lr
+    method = map_method(loss_fn, optax.sgd(lr_sched, momentum=momentum))
+    state = method.init(jax.random.key(seed + 1), params, model_state)
+    update = jax.jit(method.update)
+
+    start_epoch = 0
+    if run_dir:
+        state, resumed = ckpt.restore_checkpoint(run_dir, state)
+        if resumed is not None:
+            start_epoch = resumed + 1
+            log.info(f"resumed from epoch {resumed}")
+
+    rng = np.random.RandomState(seed)
+    n = steps_per_epoch * batch_size
+    step = start_epoch * steps_per_epoch
+    for epoch in range(start_epoch, n_epochs):
+        order = rng.permutation(x.shape[0])[:n]
+        for start in range(0, n, batch_size):
+            sel = order[start : start + batch_size]
+            step += 1
+            state, metrics = update(
+                state,
+                jax.random.fold_in(jax.random.key(seed + 2), step),
+                (jnp.asarray(x[sel]), jnp.asarray(y[sel])),
+            )
+        log.info(f"epoch {epoch}: loss {float(metrics['loss']):.4f}")
+        if run_dir:
+            ckpt.save_checkpoint(run_dir, epoch, state)
+    return method, state
+
+
 def run_vi(
     model,
     train_arrays,

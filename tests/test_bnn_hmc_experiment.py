@@ -65,6 +65,18 @@ def test_run_hmc_chain_with_resume():
         assert np.isfinite(res["eval"]["accuracy"])
 
 
+def test_run_sgd_learns_blobs():
+    from beyond_deep_ensembles_tpu.experiments.bnn_hmc import run_sgd
+
+    model = Model(TinyNet())
+    x, y = _blobs(n=256, seed=5)
+    method, state = run_sgd(model, (x, y), n_epochs=10, batch_size=64, lr=0.05)
+    p, ms = method.sample(state, jax.random.key(0))
+    out, _, _ = model.apply(p, ms, None, jnp.asarray(x), train=False, mutable_state=False)
+    acc = float(jnp.mean(jnp.argmax(out, -1) == jnp.asarray(y)))
+    assert acc > 0.8
+
+
 def test_run_sgmcmc_and_vi_learn_blobs():
     model = Model(TinyNet())
     x, y = _blobs(n=256, seed=2)
