@@ -32,6 +32,7 @@ BATCH = 128
 SCAN_K = 16
 TIMING_REPS = 5  # the tunneled chip is multi-tenant: take the best rep
 V5E_BF16_PEAK_FLOPS = 197e12  # public TPU v5e spec: 197 TFLOP/s bf16
+V5E_HBM_GBPS = 819e9  # public TPU v5e spec: 819 GB/s HBM bandwidth
 ANCHOR_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "benchmarks", "torch_anchor.json"
 )
@@ -108,14 +109,16 @@ def bench_bbb_resnet20():
     state, metrics = multi(state, jax.random.key(4), stacked)
     jax.block_until_ready(metrics["loss"])
 
-    # XLA's own flop count for the compiled K-step program.
-    flops_per_step = None
+    # XLA's own flop/byte counts for the compiled K-step program.
+    flops_per_step = bytes_per_step = None
     try:
         cost = multi.lower(state, jax.random.key(4), stacked).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         if cost and cost.get("flops", 0) > 0:
             flops_per_step = float(cost["flops"]) / SCAN_K
+        if cost and cost.get("bytes accessed", 0) > 0:
+            bytes_per_step = float(cost["bytes accessed"]) / SCAN_K
     except Exception:
         pass
 
@@ -141,6 +144,12 @@ def bench_bbb_resnet20():
         out["flops_per_step"] = flops_per_step
         out["achieved_tflops"] = flops_per_step / step_s / 1e12
         out["mfu_vs_v5e_bf16_peak"] = flops_per_step / step_s / V5E_BF16_PEAK_FLOPS
+    if bytes_per_step:
+        # arithmetic intensity ~38 flops/byte << the v5e ridge (~240):
+        # this config is HBM-bound, so bandwidth utilization is the
+        # roofline-relevant efficiency number, not MFU.
+        out["hbm_gbps"] = bytes_per_step / step_s / 1e9
+        out["hbm_util_vs_v5e_peak"] = bytes_per_step / step_s / V5E_HBM_GBPS
     return out
 
 
@@ -278,6 +287,9 @@ def main():
         extra["bbb_achieved_tflops"] = round(bbb["achieved_tflops"], 2)
         extra["bbb_mfu_vs_v5e_bf16_peak"] = round(bbb["mfu_vs_v5e_bf16_peak"], 4)
         extra["bbb_flops_per_step"] = bbb["flops_per_step"]
+    if "hbm_gbps" in bbb:
+        extra["bbb_hbm_gbps"] = round(bbb["hbm_gbps"], 1)
+        extra["bbb_hbm_util_vs_v5e_peak"] = round(bbb["hbm_util_vs_v5e_peak"], 4)
     result["extra"] = extra
 
     print(json.dumps(result))
