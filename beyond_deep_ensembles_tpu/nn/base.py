@@ -21,8 +21,18 @@ _STATE_COLLECTIONS = ("batch_stats", "sngp", "spectral_norm")
 
 
 def sow_kl(module: nn.Module, value: jax.Array):
-    """Record a layer's KL contribution for the current forward pass."""
-    module.sow(KL_COLLECTION, "kl", value, reduce_fn=lambda a, b: a + b)
+    """Record a layer's KL contribution for the current forward pass.
+
+    init_fn must be explicit: flax's default init for a custom reduce_fn
+    is the empty tuple, which makes the first reduction `() + value` and
+    crashes any module that sows during init."""
+    module.sow(
+        KL_COLLECTION,
+        "kl",
+        value,
+        reduce_fn=lambda a, b: a + b,
+        init_fn=lambda: jnp.float32(0.0),
+    )
 
 
 def _sum_kl(collection) -> jax.Array:
