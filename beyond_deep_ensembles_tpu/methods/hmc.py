@@ -38,6 +38,27 @@ class HmcState(struct.PyTreeNode):
     accepted: jax.Array
 
 
+def leapfrog(grad_fn, params, momentum, grad, loglik, step_size, n_leapfrog):
+    """Compiled leapfrog integrator (reference make_leapfrog,
+    bnn_hmc/core/hmc.py:36-64): half-kick, drift, gradient, half-kick, as
+    a lax.scan. grad_fn(params) -> ((neg_U, (loglik, aux)), grad).
+    Exposed at module level so trajectories can be compared directly
+    against the reference integrator (tests/test_reference_parity_bnn_hmc.py)."""
+
+    def leapfrog_body(carry, _):
+        params, momentum, grad, loglik = carry
+        momentum = tree.tree_add(momentum, grad, scale=0.5 * step_size)
+        params = tree.tree_add(params, momentum, scale=step_size)
+        (_, (loglik, _)), grad = grad_fn(params)
+        momentum = tree.tree_add(momentum, grad, scale=0.5 * step_size)
+        return (params, momentum, grad, loglik), None
+
+    (params, momentum, grad, loglik), _ = jax.lax.scan(
+        leapfrog_body, (params, momentum, grad, loglik), None, length=n_leapfrog
+    )
+    return params, momentum, grad, loglik
+
+
 def hmc_method(
     loss_fn: LossFn,
     dataset_size: int,
@@ -89,19 +110,9 @@ def hmc_method(
 
         momentum0 = tree.normal_like(k_mom, state.params)
 
-        def leapfrog_body(carry, _):
-            params, momentum, grad, loglik = carry
-            momentum = tree.tree_add(momentum, grad, scale=0.5 * state.step_size)
-            params = tree.tree_add(params, momentum, scale=state.step_size)
-            (_, (loglik, _)), grad = grad_fn(params)
-            momentum = tree.tree_add(momentum, grad, scale=0.5 * state.step_size)
-            return (params, momentum, grad, loglik), None
-
-        (params1, momentum1, grad1, loglik1), _ = jax.lax.scan(
-            leapfrog_body,
-            (state.params, momentum0, grad0, loglik0),
-            None,
-            length=n_leapfrog,
+        params1, momentum1, grad1, loglik1 = leapfrog(
+            grad_fn, state.params, momentum0, grad0, loglik0,
+            state.step_size, n_leapfrog,
         )
 
         # MH acceptance on the energy difference (reference hmc.py:86-96).

@@ -1,0 +1,160 @@
+"""Differential parity against the LIVE vendored bnn-hmc subtree
+(google-bnn-hmc, JAX/Haiku): leapfrog trajectories and the RMSProp
+preconditioner are deterministic, so both implementations are driven
+with identical inputs and compared exactly.
+
+The vendored code predates jax 0.9 (uses the removed jax.tree_map /
+jax.tree_leaves aliases); a two-line alias shim restores them so the
+reference logic itself runs unmodified."""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference/google-bnn-hmc"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference checkout not available"
+)
+
+if REFERENCE not in sys.path:
+    sys.path.insert(0, REFERENCE)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+# compat shim for the vendored pre-0.9 reference code (aliases only —
+# identical semantics; the reference logic is untouched)
+if not hasattr(jax, "tree_map"):
+    jax.tree_map = jax.tree.map
+if not hasattr(jax, "tree_leaves"):
+    jax.tree_leaves = jax.tree.leaves
+
+
+def _quad_logprob(params):
+    """Anisotropic Gaussian potential: log p = -0.5 sum(w * p^2)."""
+    return -0.5 * (
+        jnp.sum(jnp.asarray([1.0, 4.0, 0.25]) * params["a"] ** 2)
+        + jnp.sum(2.0 * params["b"] ** 2)
+    )
+
+
+def test_leapfrog_trajectory_matches_reference():
+    from bnn_hmc.core.hmc import make_leapfrog
+
+    from beyond_deep_ensembles_tpu.methods.hmc import leapfrog
+
+    grad_of = jax.grad(_quad_logprob)
+
+    def ref_log_prob_and_grad(dataset, params, net_state):
+        lp = _quad_logprob(params)
+        return lp, grad_of(params), lp, net_state
+
+    rng = np.random.RandomState(0)
+    params0 = {
+        "a": jnp.asarray(rng.randn(3), jnp.float32),
+        "b": jnp.asarray(rng.randn(2, 2), jnp.float32),
+    }
+    momentum0 = {
+        "a": jnp.asarray(rng.randn(3), jnp.float32),
+        "b": jnp.asarray(rng.randn(2, 2), jnp.float32),
+    }
+    grad0 = grad_of(params0)
+    step_size, n_steps = 0.1, 25
+
+    ref_leap = make_leapfrog(ref_log_prob_and_grad)
+    ref_p, _, ref_m, ref_g, ref_ll = ref_leap(
+        None, params0, None, momentum0, grad0, jnp.float32(step_size),
+        jnp.int32(n_steps),
+    )
+
+    def our_grad_fn(params):
+        lp = _quad_logprob(params)
+        return (lp, (lp, None)), grad_of(params)
+
+    our_p, our_m, our_g, our_ll = leapfrog(
+        our_grad_fn, params0, momentum0, grad0, _quad_logprob(params0),
+        jnp.float32(step_size), n_steps,
+    )
+
+    for k in ("a", "b"):
+        np.testing.assert_allclose(np.asarray(our_p[k]), np.asarray(ref_p[k]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(our_m[k]), np.asarray(ref_m[k]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(our_g[k]), np.asarray(ref_g[k]), rtol=1e-6)
+    np.testing.assert_allclose(float(our_ll), float(ref_ll), rtol=1e-6)
+
+
+def test_rmsprop_preconditioner_matches_reference():
+    from bnn_hmc.core.sgmcmc import get_rmsprop_preconditioner
+
+    from beyond_deep_ensembles_tpu.methods.sgmcmc import RMSPreconditioner
+
+    rng = np.random.RandomState(1)
+    params = {"w": jnp.zeros((4,)), "b": jnp.zeros((2,))}
+    grads = [
+        {"w": jnp.asarray(rng.randn(4), jnp.float32),
+         "b": jnp.asarray(rng.randn(2), jnp.float32)}
+        for _ in range(5)
+    ]
+    vec = {"w": jnp.asarray(rng.randn(4), jnp.float32),
+           "b": jnp.asarray(rng.randn(2), jnp.float32)}
+
+    ref = get_rmsprop_preconditioner()
+    ref_state = ref.init(params)
+    for g in grads:
+        ref_state = ref.update_preconditioner(g, ref_state)
+
+    ours = RMSPreconditioner()
+    our_state = ours.init(params)
+    for g in grads:
+        our_state = ours.update(g, our_state)
+
+    for name, ref_fn, our_fn in [
+        ("m_inv", ref.multiply_by_m_inv, ours.m_inv),
+        ("m_sqrt", ref.multiply_by_m_sqrt, ours.m_sqrt),
+    ]:
+        r = ref_fn(vec, ref_state)
+        o = our_fn(vec, our_state)
+        for k in ("w", "b"):
+            np.testing.assert_allclose(
+                np.asarray(o[k]), np.asarray(r[k]), rtol=1e-6, err_msg=name
+            )
+
+
+def test_hmc_accept_prob_matches_reference():
+    """MH acceptance probability on matched (loglik, params, momentum)
+    pairs — covers the kinetic-energy and prior-difference conventions
+    (reference hmc.py:79-96)."""
+    from bnn_hmc.core.hmc import make_accept_prob
+
+    prior_std = 1.3
+
+    def ref_log_prior_diff(p1, p2):
+        return sum(
+            jnp.sum(a**2 - b**2)
+            for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2))
+        ) * (-0.5 / prior_std**2)
+
+    get_accept = make_accept_prob(ref_log_prior_diff)
+
+    rng = np.random.RandomState(2)
+    p1 = {"w": jnp.asarray(rng.randn(5), jnp.float32)}
+    p2 = {"w": jnp.asarray(rng.randn(5), jnp.float32)}
+    m1 = {"w": jnp.asarray(rng.randn(5), jnp.float32)}
+    m2 = {"w": jnp.asarray(rng.randn(5), jnp.float32)}
+    ll1, ll2 = jnp.float32(-40.0), jnp.float32(-38.5)
+
+    ref_prob = float(get_accept(ll1, p1, m1, ll2, p2, m2))
+
+    # our update computes the same quantity inline (methods/hmc.py:127-137);
+    # recompute via our tree helpers to pin the convention
+    from beyond_deep_ensembles_tpu import tree
+
+    kinetic = 0.5 * (tree.tree_sq_norm(m1) - tree.tree_sq_norm(m2))
+    log_prior = lambda p: -tree.tree_sq_norm(p) / (2 * prior_std**2)
+    energy_diff = kinetic - (ll1 - ll2) - (log_prior(p1) - log_prior(p2))
+    our_prob = float(jnp.minimum(1.0, jnp.exp(energy_diff)))
+    np.testing.assert_allclose(our_prob, ref_prob, rtol=1e-6)
