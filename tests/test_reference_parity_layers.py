@@ -154,6 +154,84 @@ def test_lowrank_bbb_kl_and_mean_path_match_reference():
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-5, rtol=1e-4)
 
 
+def test_sngp_pipeline_matches_reference():
+    """Whole SNGP eval path vs the LIVE reference Laplace head: matched
+    RFF buffers / beta / LayerNorm, identical train batches accumulating
+    the precision matrix, then Cholesky covariance + mean-field logits
+    must agree (reference kernel/sngp.py:55-170)."""
+    from src.algos.kernel.sngp import Laplace as RefLaplace
+
+    from beyond_deep_ensembles_tpu.nn.sngp import (
+        SNGPHead,
+        recompute_covariance_and_reset,
+    )
+
+    rng = np.random.RandomState(4)
+    D, R, O = 6, 16, 3
+    ridge, mff = 0.001, 0.25
+    x1 = rng.randn(8, D).astype(np.float32)
+    x2 = rng.randn(8, D).astype(np.float32)
+    xt = rng.randn(5, D).astype(np.float32)
+
+    ref = RefLaplace(
+        torch.nn.Identity(),
+        num_deep_features=D,
+        num_gp_features=0,
+        normalize_gp_features=True,
+        num_random_features=R,
+        num_outputs=O,
+        num_data=16,
+        train_batch_size=8,
+        ridge_penalty=ridge,
+        feature_scale=2.0,
+        mean_field_factor=mff,
+    )
+    W = np.asarray(ref.rff.W)  # [D, R]
+    b = np.asarray(ref.rff.b)
+    beta_w = ref.beta.weight.detach().numpy()  # [O, R]
+    beta_b = ref.beta.bias.detach().numpy()
+
+    ref.train()
+    with torch.no_grad():
+        ref(torch.tensor(x1))
+        ref(torch.tensor(x2))
+    ref.eval()
+    with torch.no_grad():
+        ref_logits = ref(torch.tensor(xt)).numpy()
+
+    head = SNGPHead(
+        outputs=O,
+        num_random_features=R,
+        ridge_penalty=ridge,
+        feature_scale=2.0,
+        mean_field_factor=mff,
+    )
+    variables = head.init(
+        {"params": jax.random.key(0)}, jnp.asarray(x1), train=True
+    )
+    variables = dict(variables)
+    variables["params"] = {
+        "LayerNorm_0": variables["params"]["LayerNorm_0"],  # scale=1, bias=0 matches torch default
+        "beta": {"kernel": jnp.asarray(beta_w.T), "bias": jnp.asarray(beta_b)},
+    }
+    variables["buffers"] = {
+        "RandomFourierFeatures_0": {"W": jnp.asarray(W), "b": jnp.asarray(b)}
+    }
+
+    sngp_state = variables["sngp"]
+    for xb in (x1, x2):
+        _, mut = head.apply(
+            {**variables, "sngp": sngp_state},
+            jnp.asarray(xb),
+            train=True,
+            mutable=["sngp"],
+        )
+        sngp_state = mut["sngp"]
+    sngp_state = recompute_covariance_and_reset(sngp_state, ridge)
+    ours = head.apply({**variables, "sngp": sngp_state}, jnp.asarray(xt), train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits, atol=2e-4, rtol=1e-3)
+
+
 def test_spectral_norm_cap_matches_reference():
     """Both implementations power-iterate to the same top singular value
     and apply the same cap sigma <- max(1, sigma/bound)."""
