@@ -127,11 +127,13 @@ def prepare_wilds(
     download_root: Optional[str] = None,
     subsample: Optional[int] = None,
     out_root: Optional[str] = None,
+    fold: Optional[str] = None,
     log=print,
 ):
     """Stage WILDS splits into the npz cache. Requires the ``wilds``
     package and the dataset's raw files under ``download_root``
-    (reference get_dataset/get_subset, wilds1.py:55-174)."""
+    (reference get_dataset/get_subset, wilds1.py:55-174). ``fold``: the
+    PovertyMap cross-validation fold A-E (reference 5-fold protocol)."""
     try:
         from wilds import get_dataset
     except ImportError as e:  # pragma: no cover - exercised only with wilds installed
@@ -144,7 +146,8 @@ def prepare_wilds(
     spec = TASKS[task]
     root = download_root or os.path.join(data_dir(), "wilds_raw")
     name = {"poverty": "poverty", "fmow": "fmow"}.get(task, task)
-    dataset = get_dataset(dataset=name, root_dir=root, download=False)
+    kwargs = {"fold": fold} if fold else {}
+    dataset = get_dataset(dataset=name, root_dir=root, download=False, **kwargs)
 
     tokenize = None
     if spec.text:
@@ -186,7 +189,8 @@ def prepare_wilds(
             x = np.stack([ids, mask], axis=-1)
         else:
             x = np.stack(xs)
-        path = write_wilds_cache(task, split, x, np.stack(ys), meta, root=out_root)
+        split_name = f"{split}_fold{fold}" if fold else split
+        path = write_wilds_cache(task, split_name, x, np.stack(ys), meta, root=out_root)
         log(f"wrote {path}: x{x.shape}")
         paths.append(path)
     return paths
@@ -256,7 +260,10 @@ def verify_cache(root: Optional[str] = None, log=print) -> dict:
         for fn in sorted(os.listdir(wilds_dir)):
             if not fn.endswith(".npz"):
                 continue
-            task = fn.rsplit("_", 1)[0]
+            stem = fn[:-4]
+            if "_fold" in stem:  # poverty_<split>_fold<F>
+                stem = stem[: stem.index("_fold")]
+            task = stem.rsplit("_", 1)[0]
             rel = f"wilds/{fn}"
             if task not in TASKS:
                 report[rel] = f"unknown task {task!r}"
@@ -312,6 +319,7 @@ def main(argv=None):
     p_w.add_argument("--splits", default="train,val,test")
     p_w.add_argument("--download-root", default=None)
     p_w.add_argument("--subsample", type=int, default=None)
+    p_w.add_argument("--fold", default=None, help="PovertyMap fold A-E")
 
     p_u = sub.add_parser("uci", help="stage a UCI regression dataset")
     p_u.add_argument("name")
@@ -326,6 +334,7 @@ def main(argv=None):
             splits=tuple(args.splits.split(",")),
             download_root=args.download_root,
             subsample=args.subsample,
+            fold=args.fold,
         )
     elif args.cmd == "uci":
         prepare_uci(args.name, raw_path=args.raw)

@@ -103,13 +103,20 @@ def _synthetic(spec: TaskSpec, n: int, seed: int):
 
 
 def load_wilds(
-    task: str, split: str, subsample: Optional[float] = None, seed: int = 0
+    task: str,
+    split: str,
+    subsample: Optional[float] = None,
+    seed: int = 0,
+    fold: Optional[str] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (x, y, metadata). split in {train, val, test, id_val}.
     Fractional ``subsample`` keeps the first fraction (reference
-    _wilds_subsample, wilds1.py:193-200)."""
+    _wilds_subsample, wilds1.py:193-200). ``fold`` selects a PovertyMap
+    cross-validation fold A-E (reference wilds1.py poverty fold=...,
+    poverty.py 5-fold protocol); cache file ``poverty_<split>_fold<F>.npz``."""
     spec = TASKS[task]
-    path = os.path.join(data_dir(), "wilds", f"{task}_{split}.npz")
+    stem = f"{task}_{split}" + (f"_fold{fold}" if fold else "")
+    path = os.path.join(data_dir(), "wilds", f"{stem}.npz")
     if os.path.exists(path):
         with np.load(path) as f:
             x, y, meta = f["x"], f["y"], f["meta"]
@@ -121,7 +128,7 @@ def load_wilds(
     n = {"train": 2048, "val": 512, "test": 512, "id_val": 512}[split]
     if subsample is not None:
         n = min(n, int(n * subsample) if subsample <= 1 else int(subsample))
-    return _synthetic(spec, n, seed + hash((task, split)) % 1000)
+    return _synthetic(spec, n, seed + hash((task, split, fold)) % 1000)
 
 
 # ---------------------------------------------------------------------------

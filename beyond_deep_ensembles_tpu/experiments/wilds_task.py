@@ -618,8 +618,8 @@ def eval_task(built: BuiltExperiment, task: str, config: dict, x, y, meta, seed=
 
 def run_single(task: str, config: dict, log=None) -> dict:
     config = {**DEFAULT_CONFIG, **config}
-    x, y, meta = wilds_data.load_wilds(task, "train", subsample=config["subsample"])
-    xt, yt, mt = wilds_data.load_wilds(task, "test", subsample=config["test_subsample"])
+    x, y, meta = wilds_data.load_wilds(task, "train", subsample=config["subsample"], fold=config.get("fold"))
+    xt, yt, mt = wilds_data.load_wilds(task, "test", subsample=config["test_subsample"], fold=config.get("fold"))
     if config.get("tiny") and not wilds_data.TASKS[task].text:
         x, xt = x[:, :32, :32, :], xt[:, :32, :32, :]
     config["dataset_size"] = x.shape[0]
@@ -630,7 +630,7 @@ def run_single(task: str, config: dict, log=None) -> dict:
 
     epoch_callback = None
     if config.get("eval_while_train"):
-        xv, yv, mv = wilds_data.load_wilds(task, "val", subsample=config["test_subsample"])
+        xv, yv, mv = wilds_data.load_wilds(task, "val", subsample=config["test_subsample"], fold=config.get("fold"))
         if config.get("tiny") and not wilds_data.TASKS[task].text:
             xv = xv[:, :32, :32, :]
         interval = config.get("eval_interval", 1)
@@ -666,8 +666,8 @@ def run_single(task: str, config: dict, log=None) -> dict:
 
 
 def _load_task_data(task: str, config: dict):
-    x, y, _ = wilds_data.load_wilds(task, "train", subsample=config["subsample"])
-    xt, yt, mt = wilds_data.load_wilds(task, "test", subsample=config["test_subsample"])
+    x, y, _ = wilds_data.load_wilds(task, "train", subsample=config["subsample"], fold=config.get("fold"))
+    xt, yt, mt = wilds_data.load_wilds(task, "test", subsample=config["test_subsample"], fold=config.get("fold"))
     if config.get("tiny") and not wilds_data.TASKS[task].text:
         x, xt = x[:, :32, :32, :], xt[:, :32, :32, :]
     config["dataset_size"] = x.shape[0]

@@ -48,6 +48,22 @@ def test_wilds_cache_rescales_and_validates(data_root):
         )
 
 
+def test_poverty_fold_cache(data_root):
+    spec = W.TASKS["poverty"]
+    n = 4
+    x = np.random.rand(n, *spec.input_shape).astype(np.float32)
+    y = np.random.randn(n, 1).astype(np.float32)
+    meta = np.random.randint(0, 2, (n, 1))
+    prepare.write_wilds_cache("poverty", "test_foldB", x, y, meta)
+    xl, yl, _ = W.load_wilds("poverty", "test", fold="B")
+    assert xl.shape == x.shape and yl.dtype == np.float32
+    # other folds fall back to synthetic with fold-dependent seed
+    xa, _, _ = W.load_wilds("poverty", "test", fold="A", subsample=4)
+    assert not np.allclose(xa, xl)
+    report = prepare.verify_cache(log=lambda *_: None)
+    assert report["wilds/poverty_test_foldB.npz"] == "ok"
+
+
 def test_text_task_cache(data_root):
     spec = W.TASKS["civilcomments"]
     n = 6
