@@ -56,6 +56,13 @@ def _enable_cache():
 
 _enable_cache()
 
+try:
+    from beyond_deep_ensembles_tpu.utils.perf import enable_fast_tpu_rng
+
+    FAST_RNG = enable_fast_tpu_rng()
+except Exception:
+    FAST_RNG = False
+
 
 def tunnel_latency():
     """Per-call dispatch+fetch latency of the tunneled backend (measured
@@ -338,6 +345,7 @@ def main():
         extra["bbb_hbm_gbps"] = round(bbb["hbm_gbps"], 1)
         extra["bbb_hbm_util_vs_v5e_peak"] = round(bbb["hbm_util_vs_v5e_peak"], 4)
     extra["chip_health"] = health
+    extra["prng_impl"] = "rbg" if FAST_RNG else "threefry2x32"
     result["extra"] = extra
 
     print(json.dumps(result))

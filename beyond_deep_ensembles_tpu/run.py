@@ -81,6 +81,12 @@ def _enable_cache():
         enable_compilation_cache()
     except Exception:
         pass
+    try:
+        from beyond_deep_ensembles_tpu.utils.perf import enable_fast_tpu_rng
+
+        enable_fast_tpu_rng()
+    except Exception:
+        pass
 
 
 _enable_cache()
