@@ -149,3 +149,12 @@ def test_parallel_trainer_8dev():
     y = jnp.ones((16, 1))
     state, metrics = trainer.step(state, jax.random.key(1), (x, y))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_fast_tpu_rng_noop_on_cpu():
+    # the suite runs on the forced-CPU backend: the TPU RNG switch must
+    # not engage (threefry keeps cross-placement determinism in tests)
+    from beyond_deep_ensembles_tpu.utils.perf import enable_fast_tpu_rng
+
+    assert enable_fast_tpu_rng() is False
+    assert jax.random.normal(jax.random.key(0), ()).dtype == jnp.float32
