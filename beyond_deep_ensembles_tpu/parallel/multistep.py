@@ -16,17 +16,20 @@ import jax
 import jax.numpy as jnp
 
 
-def make_multi_step(update, k: int):
+def make_multi_step(update, k: int, donate: bool = False):
     """Returns multi(state, key, stacked_batches) -> (state, metrics).
 
     stacked_batches: pytree of arrays with leading axis k (k minibatches).
-    metrics are averaged over the k steps. The incoming state is DONATED —
-    XLA updates parameters/optimizer state in place instead of copying the
-    whole tree through HBM every call; callers must rebind the result
-    (every train loop does).
+    metrics are averaged over the k steps.
+
+    donate=True aliases the incoming state buffers (in-place update, halves
+    peak state memory; callers must rebind the result). OFF by default: the
+    axon TPU backend miscompiles donated iVON states inside lax.scan
+    (runtime InvalidArgument; bbb/map/swag donate fine), and measured
+    throughput is identical either way on this workload.
     """
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def multi(state, key, stacked_batches):
         keys = jax.random.split(key, k)
 
@@ -47,7 +50,7 @@ def stack_batches(batches):
     return jax.tree.map(lambda *ls: jnp.stack(ls), *batches)
 
 
-def make_epoch_runner(update, n_data: int, batch_size: int):
+def make_epoch_runner(update, n_data: int, batch_size: int, donate: bool = False):
     """Whole-epoch training with DEVICE-RESIDENT data.
 
     For datasets that fit in HBM (CIFAR-10 is ~0.6 GB) the host should
@@ -62,8 +65,9 @@ def make_epoch_runner(update, n_data: int, batch_size: int):
     """
     steps = n_data // batch_size
 
-    # state donated (in-place update); data is NOT — it is reused every epoch.
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    # donate=True aliases state (never data — it is reused every epoch);
+    # off by default, see make_multi_step.
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def epoch(state, key, data):
         k_perm, k_steps = jax.random.split(key)
         perm = jax.random.permutation(k_perm, n_data)[: steps * batch_size]

@@ -8,7 +8,6 @@ axis) with one helper.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -36,9 +35,9 @@ class ParallelTrainer:
             mesh = make_mesh(member_parallel=member_parallel or 1)
         self.mesh = mesh
         self.n_members = n_members
-        # state donated: sharded params/opt state update in place on each
-        # chip instead of round-tripping a copy through HBM
-        self._update = functools.partial(jax.jit, donate_argnums=(0,))(method.update)
+        # donation is opt-in (see parallel/multistep.py: the axon backend
+        # miscompiles donated iVON states inside scans)
+        self._update = jax.jit(method.update)
 
     def place_state(self, state):
         if self.n_members > 1:
