@@ -700,6 +700,36 @@ def fit_laplace_phase(task: str, config: dict, run_dir: str, log=None) -> dict:
     return eval_task(built, task, config, xt, yt, mt)
 
 
+def sweep_drop_rates_phase(
+    task: str, config: dict, run_dir: str, rates=(0.05, 0.1, 0.2, 0.3, 0.5), log=None
+) -> dict:
+    """Evaluate a saved MC-Dropout checkpoint under different dropout
+    rates (reference civilcomments/test_drop_rates.py:33-51: patch_dropout
+    with patch_fixable over a saved MCD state). Dropout has no parameters,
+    so the checkpoint transplants into a rebuilt model at each rate."""
+    from ..utils import checkpoint as _ckpt
+
+    config = {**DEFAULT_CONFIG, **config, "model": "mcd"}
+    _, _, xt, yt, mt = _load_task_data(task, config)
+    built = build(task, config, jax.random.key(config["seed"]), config["steps_per_epoch"])
+    built.state = _ckpt.restore_final(run_dir, "mcd", built.state)
+    results = {}
+    for rate in rates:
+        rebuilt = build(
+            task,
+            {**config, "dropout_p": float(rate)},
+            jax.random.key(config["seed"]),
+            config["steps_per_epoch"],
+        )
+        rebuilt.state = built.state  # same params; only the drop rate differs
+        res = eval_task(rebuilt, task, config, xt, yt, mt)
+        results[f"p={rate}"] = res
+        if log:
+            log(f"drop rate {rate}: acc={res.get('accuracy', float('nan')):.4f} "
+                f"ece={res.get('ece', float('nan')):.4f}")
+    return results
+
+
 def multix_phase(
     task: str, config: dict, run_dirs, leave_out: int = None, log=None
 ) -> dict:

@@ -68,6 +68,10 @@ def run_phase(task: str, phase: str, params: dict, run_dirs, log, leave_out=None
 
         if phase == "fit_laplace":
             return wilds_task.fit_laplace_phase(task, params, run_dirs[0], log=log.info)
+        if phase == "drop_rates":
+            return wilds_task.sweep_drop_rates_phase(
+                task, params, run_dirs[0], log=log.info
+            )
         return wilds_task.multix_phase(
             task, params, run_dirs, leave_out=leave_out, log=log.info
         )
@@ -103,7 +107,7 @@ def main(argv=None):
     parser.add_argument(
         "--phase",
         default="train",
-        choices=("train", "fit_laplace", "multix"),
+        choices=("train", "fit_laplace", "multix", "drop_rates"),
         help="train, or a checkpoint-driven downstream phase",
     )
     parser.add_argument(
@@ -141,14 +145,14 @@ def main(argv=None):
         for rep in reps:
             params = {**spec["params"], "seed": rep + spec["params"].get("seed_offset", 0)}
             out_dir = os.path.join(variant_dir, f"rep_{rep}")
-            if args.phase == "fit_laplace":
+            if args.phase in ("fit_laplace", "drop_rates"):
                 log = RunLogger(
-                    os.path.join(out_dir, "fit_laplace"),
-                    name=f"{spec['name']}/r{rep}/laplace",
+                    os.path.join(out_dir, args.phase),
+                    name=f"{spec['name']}/r{rep}/{args.phase}",
                     use_wandb=args.wandb,
                     config=params,
                 )
-                results = run_phase(args.task, "fit_laplace", params, [out_dir], log)
+                results = run_phase(args.task, args.phase, params, [out_dir], log)
             else:
                 params.setdefault("checkpoint_dir", out_dir)
                 log = RunLogger(out_dir, name=f"{spec['name']}/r{rep}", use_wandb=args.wandb, config=params)
