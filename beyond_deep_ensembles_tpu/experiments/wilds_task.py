@@ -700,6 +700,21 @@ def fit_laplace_phase(task: str, config: dict, run_dir: str, log=None) -> dict:
     return eval_task(built, task, config, xt, yt, mt)
 
 
+def eval_only_phase(task: str, config: dict, run_dir: str, log=None) -> dict:
+    """Re-evaluate a saved ``{model}_final`` checkpoint without training
+    (reference camelyon/eval_only.py and the amazon/civil ``eval_only``
+    config flag, amazon.py:86)."""
+    from ..utils import checkpoint as _ckpt
+
+    config = {**DEFAULT_CONFIG, **config}
+    _, _, xt, yt, mt = _load_task_data(task, config)
+    built = build(task, config, jax.random.key(config["seed"]), config["steps_per_epoch"])
+    built.state = _ckpt.restore_final(run_dir, config["model"], built.state)
+    if log:
+        log(f"eval_only: restored {config['model']}_final from {run_dir}")
+    return eval_task(built, task, config, xt, yt, mt)
+
+
 def sweep_drop_rates_phase(
     task: str, config: dict, run_dir: str, rates=(0.05, 0.1, 0.2, 0.3, 0.5), log=None
 ) -> dict:

@@ -72,6 +72,8 @@ def run_phase(task: str, phase: str, params: dict, run_dirs, log, leave_out=None
             return wilds_task.sweep_drop_rates_phase(
                 task, params, run_dirs[0], log=log.info
             )
+        if phase == "eval":
+            return wilds_task.eval_only_phase(task, params, run_dirs[0], log=log.info)
         return wilds_task.multix_phase(
             task, params, run_dirs, leave_out=leave_out, log=log.info
         )
@@ -107,7 +109,7 @@ def main(argv=None):
     parser.add_argument(
         "--phase",
         default="train",
-        choices=("train", "fit_laplace", "multix", "drop_rates"),
+        choices=("train", "fit_laplace", "multix", "drop_rates", "eval"),
         help="train, or a checkpoint-driven downstream phase",
     )
     parser.add_argument(
@@ -145,7 +147,7 @@ def main(argv=None):
         for rep in reps:
             params = {**spec["params"], "seed": rep + spec["params"].get("seed_offset", 0)}
             out_dir = os.path.join(variant_dir, f"rep_{rep}")
-            if args.phase in ("fit_laplace", "drop_rates"):
+            if args.phase in ("fit_laplace", "drop_rates", "eval"):
                 log = RunLogger(
                     os.path.join(out_dir, args.phase),
                     name=f"{spec['name']}/r{rep}/{args.phase}",

@@ -66,6 +66,12 @@ def test_train_then_phases(tmp_path):
     )
     assert os.path.exists(os.path.join(out, "MAP_0", "multix_lo1", "metrics.jsonl"))
 
+    # Phase 4: pure re-eval of the saved checkpoint (reference eval_only.py).
+    cli.main(["camelyon17", str(sweep), "--out", out, "--phase", "eval", "--rep", "0",
+              "--name", "MAP"])
+    ev = _read_metrics(os.path.join(out, "MAP_0", "rep_0", "eval", "metrics.jsonl"))
+    assert np.isfinite(ev[-1]["accuracy"])
+
 
 @pytest.mark.slow
 def test_mcd_drop_rate_sweep(tmp_path):
