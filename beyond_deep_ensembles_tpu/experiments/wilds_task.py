@@ -618,13 +618,8 @@ def eval_task(built: BuiltExperiment, task: str, config: dict, x, y, meta, seed=
 
 def run_single(task: str, config: dict, log=None) -> dict:
     config = {**DEFAULT_CONFIG, **config}
-    x, y, meta = wilds_data.load_wilds(task, "train", subsample=config["subsample"], fold=config.get("fold"))
-    xt, yt, mt = wilds_data.load_wilds(task, "test", subsample=config["test_subsample"], fold=config.get("fold"))
-    if config.get("tiny") and not wilds_data.TASKS[task].text:
-        x, xt = x[:, :32, :32, :], xt[:, :32, :32, :]
-    config["dataset_size"] = x.shape[0]
-    steps_per_epoch = max(1, x.shape[0] // config["batch_size"])
-    config["steps_per_epoch"] = steps_per_epoch
+    x, y, xt, yt, mt = _load_task_data(task, config)
+    steps_per_epoch = config["steps_per_epoch"]
 
     built = build(task, config, jax.random.key(config["seed"]), steps_per_epoch)
 
