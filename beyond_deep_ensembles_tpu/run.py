@@ -17,6 +17,10 @@ reading the ``{model}_final`` checkpoints a train phase wrote:
   --phase fit_laplace   post-hoc Laplace per repetition
   --phase multix        deep ensemble over the variant's repetitions
                         (``--leave-out K`` for the leave-one-out protocol)
+  --phase drop_rates    dropout-rate sweep over a saved MCD checkpoint
+                        (reference test_drop_rates.py)
+  --phase eval          re-evaluate a saved checkpoint without training
+                        (reference eval_only.py)
 """
 from __future__ import annotations
 
