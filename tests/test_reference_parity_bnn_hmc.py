@@ -124,6 +124,29 @@ def test_rmsprop_preconditioner_matches_reference():
             )
 
 
+def test_mfvi_kl_matches_reference():
+    """MFVI's Gaussian prior-KL term vs the live reference kl_fn
+    (core/vi.py:104-131; reference returns -KL * temperature)."""
+    from bnn_hmc.core.vi import make_kl_with_gaussian_prior
+
+    from beyond_deep_ensembles_tpu.methods.vi import _gauss_kl_iso
+
+    rng = np.random.RandomState(3)
+    mean = {"w": jnp.asarray(rng.randn(4, 3), jnp.float32),
+            "b": jnp.asarray(rng.randn(3), jnp.float32)}
+    rho = {"w": jnp.asarray(-1 + 0.3 * rng.randn(4, 3), jnp.float32),
+           "b": jnp.asarray(-2 + 0.3 * rng.randn(3), jnp.float32)}
+    prior_std, temperature = 1.7, 0.5
+
+    ref_kl_fn = make_kl_with_gaussian_prior(
+        weight_decay=1.0 / prior_std**2, temperature=temperature
+    )
+    ref = float(ref_kl_fn({"mean": mean, "inv_softplus_std": rho}))
+
+    ours = float(_gauss_kl_iso(mean, rho, prior_std))
+    np.testing.assert_allclose(-ours * temperature, ref, rtol=1e-6)
+
+
 def test_hmc_accept_prob_matches_reference():
     """MH acceptance probability on matched (loglik, params, momentum)
     pairs — covers the kinetic-energy and prior-difference conventions
