@@ -124,6 +124,63 @@ def test_rmsprop_preconditioner_matches_reference():
             )
 
 
+def test_losses_match_reference():
+    """Tempered xent / Gaussian prior / heteroscedastic likelihood vs the
+    LIVE vendored losses.py. Note: the reference log-prior carries a
+    sign quirk on its (parameter-independent) normalization constant
+    (losses.py:60-62 subtracts 0.5 n log(wd/2pi) where the true density
+    adds it), so the prior is compared through parameter-dependent
+    differences — exactly what HMC/SGMCMC consume."""
+    import math
+
+    from bnn_hmc.utils import losses as ref_losses
+
+    from beyond_deep_ensembles_tpu.evals.losses import (
+        gaussian_log_prior,
+        gaussian_log_prior_diff,
+        heteroscedastic_gaussian_ll,
+        tempered_softmax_xent,
+    )
+
+    rng = np.random.RandomState(4)
+
+    # tempered cross-entropy: ours is the mean NLL / T, theirs the summed LL / T
+    logits = jnp.asarray(rng.randn(6, 4), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 4, 6))
+    T = 2.0
+    ref_ll, _ = ref_losses.make_xent_log_likelihood(T)(
+        lambda p, s, _, b, t: (logits, s), None, None, (None, y), True
+    )
+    ours = tempered_softmax_xent(logits, y, temperature=T)
+    np.testing.assert_allclose(float(ref_ll), -float(ours) * 6, rtol=1e-6)
+
+    # Gaussian prior: parameter-dependent parts + the diff fn
+    wd, T = 3.0, 1.0
+    prior_std = 1.0 / math.sqrt(wd)
+    p1 = {"w": jnp.asarray(rng.randn(5), jnp.float32)}
+    p2 = {"w": jnp.asarray(rng.randn(5), jnp.float32)}
+    ref_lp, ref_lpd = ref_losses.make_gaussian_log_prior(wd, T)
+    np.testing.assert_allclose(
+        float(ref_lp(p1)) - float(ref_lp(p2)),
+        float(gaussian_log_prior(p1, prior_std)) - float(gaussian_log_prior(p2, prior_std)),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(ref_lpd(p1, p2)),
+        float(gaussian_log_prior_diff(p1, p2, prior_std)),
+        rtol=1e-5,
+    )
+
+    # heteroscedastic Gaussian likelihood (mean, pre-softplus std) pairs
+    outputs = jnp.asarray(rng.randn(8, 2), jnp.float32)
+    targets = jnp.asarray(rng.randn(8, 1), jnp.float32)
+    ref_gll, _ = ref_losses.make_gaussian_likelihood(1.0)(
+        lambda p, s, _, b, t: (outputs, s), None, None, (None, targets), True
+    )
+    ours_ll = heteroscedastic_gaussian_ll(outputs, targets[:, 0], min_std=0.0)
+    np.testing.assert_allclose(float(ref_gll), float(jnp.sum(ours_ll)), rtol=1e-5)
+
+
 def test_mfvi_kl_matches_reference():
     """MFVI's Gaussian prior-KL term vs the live reference kl_fn
     (core/vi.py:104-131; reference returns -KL * temperature)."""
