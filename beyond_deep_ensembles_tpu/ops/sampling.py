@@ -14,12 +14,16 @@ seeded per kernel invocation + grid position); distributionally both are
 iid N(0,1), which is all the algorithms require. Differentiable with the
 standard reparameterization gradient via custom VJP (noise constant).
 
-MEASURED (v5e, 8.4M elements): XLA's threefry + fused elementwise runs at
-~2.4 ms while this kernel pays ~4x more in pad/reshape traffic, and
-zeroing the noise entirely does NOT speed up the BBB ResNet-20 step —
-RNG is not the bottleneck at benchmark sizes. The kernel therefore stays
-OPT-IN (it wins only when callers keep data 2-D and lane-aligned);
-layers default to the XLA path.
+MEASURED (v5e, honest scalar-fetch timing — round 2 found this backend's
+``block_until_ready`` to be a no-op, invalidating earlier conclusions):
+threefry RNG WAS ~25% of the BBB ResNet-20 step; switching the default
+PRNG to XLA's hardware RngBitGenerator (utils/perf.py enable_fast_tpu_rng)
+cut the step 4.1 -> 3.0 ms and saturates HBM bandwidth (~98% of peak).
+At that roofline this kernel's remaining edge (one fused VMEM pass) is
+bounded by the same bytes XLA already moves post-fusion, while its
+pad/reshape traffic costs extra for non-lane-aligned shapes. It stays
+OPT-IN: useful only for callers with 2-D lane-aligned data wanting the
+hardware-PRNG stream without the global config switch.
 """
 from __future__ import annotations
 
