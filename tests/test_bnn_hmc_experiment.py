@@ -77,6 +77,19 @@ def test_run_sgd_learns_blobs():
     assert acc > 0.8
 
 
+def test_run_sgd_resume():
+    from beyond_deep_ensembles_tpu.experiments.bnn_hmc import run_sgd
+
+    model = Model(TinyNet())
+    x, y = _blobs(n=128, seed=6)
+    with tempfile.TemporaryDirectory() as d:
+        _, s1 = run_sgd(model, (x, y), n_epochs=3, batch_size=64, run_dir=d)
+        assert int(s1.step) == 3 * 2
+        # resume continues from epoch 3: only 2 more epochs of steps run
+        _, s2 = run_sgd(model, (x, y), n_epochs=5, batch_size=64, run_dir=d)
+        assert int(s2.step) == 5 * 2
+
+
 def test_run_sgmcmc_and_vi_learn_blobs():
     model = Model(TinyNet())
     x, y = _blobs(n=256, seed=2)
