@@ -44,3 +44,27 @@ def test_eval_hmc_pipeline():
     assert res["hmc_agreement"] == 1.0
     assert abs(res["hmc_total_variation"]) < 1e-6
     assert np.isfinite(res["accuracy"])
+
+
+@pytest.mark.slow
+def test_cifar_corrupted_eval():
+    """CIFAR-10-C evaluation splits flow through run_single (reference
+    cifar.py corrupted loop; synthetic noise fallback when the Hendrycks
+    files are not staged)."""
+    from beyond_deep_ensembles_tpu.experiments import cifar as C
+
+    res = C.run_single(
+        {
+            "model": "map",
+            "epochs": 1,
+            "subsample": 256,
+            "test_subsample": 96,
+            "eval_samples": 2,
+            "eval_batch_size": 96,
+            "batch_size": 64,
+            "corrupted_intensities": [0, 2],
+        }
+    )
+    assert "corrupted0" in res and "corrupted2" in res
+    assert np.isfinite(res["corrupted2"]["ece"])
+    assert np.isfinite(res["corrupted0"]["avg_log_likelihood"])
