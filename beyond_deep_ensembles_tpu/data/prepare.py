@@ -61,8 +61,12 @@ def write_wilds_cache(task: str, split: str, x, y, meta, root: Optional[str] = N
     if spec.text:
         x = x.astype(np.int32)
     else:
+        was_uint8 = x.dtype == np.uint8
         x = x.astype(np.float32)
-        if x.max() > 1.5:
+        # Rescale uint8-derived images to [0, 1]; never rescale tasks
+        # whose images are already standardized floats (PovertyMap's
+        # 8-channel multispectral data is negative and >1 by design).
+        if spec.unit_interval and (was_uint8 or x.max() > 1.5):
             x = x / 255.0
     if spec.classes == 1:
         y = y.astype(np.float32).reshape(len(x), 1)
@@ -183,7 +187,13 @@ def prepare_wilds(
             ) else 0
             meta = meta[:, idx : idx + 1]
         else:
-            meta = meta[:, :1]
+            # fmow needs the region column, amazon the user column —
+            # both are metadata column 0 in WILDS, but resolve by field
+            # name when the dataset exposes it, for robustness.
+            want = {"fmow": "region", "amazon": "user"}.get(task)
+            fields = list(getattr(dataset, "metadata_fields", []))
+            idx = fields.index(want) if want in fields else 0
+            meta = meta[:, idx : idx + 1]
         if spec.text:
             ids, mask = tokenize(xs, spec.seq_len)
             x = np.stack([ids, mask], axis=-1)
@@ -263,7 +273,13 @@ def verify_cache(root: Optional[str] = None, log=print) -> dict:
             stem = fn[:-4]
             if "_fold" in stem:  # poverty_<split>_fold<F>
                 stem = stem[: stem.index("_fold")]
-            task = stem.rsplit("_", 1)[0]
+            # strip the known split suffix explicitly: a blind rsplit on
+            # the last underscore parses amazon_id_val as task "amazon_id"
+            task = stem
+            for split in ("id_val", "train", "val", "test"):
+                if stem.endswith(f"_{split}"):
+                    task = stem[: -len(split) - 1]
+                    break
             rel = f"wilds/{fn}"
             if task not in TASKS:
                 report[rel] = f"unknown task {task!r}"
@@ -276,8 +292,10 @@ def verify_cache(root: Optional[str] = None, log=print) -> dict:
                 assert len(x) == len(y) == len(meta), "length mismatch"
                 if spec.classes > 1:
                     assert y.max() < spec.classes, "label out of range"
-                if not spec.text:
+                if not spec.text and spec.unit_interval:
                     assert 0 <= x.min() and x.max() <= 1.5, "images not in [0,1]"
+                if not spec.text:
+                    assert np.isfinite(x).all(), "non-finite images"
                 report[rel] = "ok"
             except Exception as e:
                 report[rel] = str(e)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import zlib
 from typing import Optional, Tuple
 
 import numpy as np
@@ -46,19 +47,34 @@ class TaskSpec:
     classes: int  # 1 => regression
     text: bool = False
     seq_len: int = 0
-    metric: str = "accuracy"  # accuracy | macro_f1 | worst_group_acc | pearson
+    # accuracy | macro_f1 | worst_group_acc | pearson | worst_region_acc
+    # | tenth_percentile_acc
+    metric: str = "accuracy"
+    # images stored in [0, 1] (uint8-derived). PovertyMap ships
+    # standardized multispectral floats that are negative and >1, so its
+    # cache must neither be /255-rescaled nor range-checked.
+    unit_interval: bool = True
 
+
+# FMoW metadata region ids (WILDS metadata_map order); id 5 = "Other" is
+# excluded from the worst-region metric, matching the official
+# dataset.eval (reference fmow.py:70,84 loops regions 0..4 only).
+FMOW_REGIONS = ("asia", "europe", "africa", "americas", "oceania", "other")
 
 TASKS = {
     "camelyon17": TaskSpec("camelyon17", (96, 96, 3), 2),
     "iwildcam": TaskSpec("iwildcam", (448, 448, 3), 182, metric="macro_f1"),
     "rxrx1": TaskSpec("rxrx1", (256, 256, 3), 1139),
-    "fmow": TaskSpec("fmow", (224, 224, 3), 62),
-    "poverty": TaskSpec("poverty", (224, 224, 8), 1, metric="pearson"),
+    "fmow": TaskSpec("fmow", (224, 224, 3), 62, metric="worst_region_acc"),
+    "poverty": TaskSpec(
+        "poverty", (224, 224, 8), 1, metric="pearson", unit_interval=False
+    ),
     "civilcomments": TaskSpec(
         "civilcomments", (300, 2), 2, text=True, seq_len=300, metric="worst_group_acc"
     ),
-    "amazon": TaskSpec("amazon", (512, 2), 5, text=True, seq_len=512),
+    "amazon": TaskSpec(
+        "amazon", (512, 2), 5, text=True, seq_len=512, metric="tenth_percentile_acc"
+    ),
 }
 
 
@@ -92,11 +108,18 @@ def _synthetic(spec: TaskSpec, n: int, seed: int):
         noise = fast.standard_normal((n,) + spec.input_shape, dtype=np.float32)
         x = 0.2 * imgs + 0.1 * noise
     # metadata: group ids (8 binary identity columns for civilcomments,
-    # region/urban for poverty, location otherwise)
+    # urban flag for poverty, region for fmow, user id for amazon,
+    # location otherwise)
     if spec.name == "civilcomments":
         meta = rng.randint(0, 2, size=(n, len(CIVIL_GROUPS))).astype(np.int64)
     elif spec.name == "poverty":
         meta = rng.randint(0, 2, size=(n, 1)).astype(np.int64)  # urban flag
+    elif spec.name == "fmow":
+        # regions 0..5 incl. the excluded "Other" so the metric's
+        # exclusion path is exercised
+        meta = rng.randint(0, len(FMOW_REGIONS), size=(n, 1)).astype(np.int64)
+    elif spec.name == "amazon":
+        meta = rng.randint(0, 30, size=(n, 1)).astype(np.int64)  # user id
     else:
         meta = rng.randint(0, 4, size=(n, 1)).astype(np.int64)
     return x, y, meta
@@ -124,11 +147,15 @@ def load_wilds(
             k = int(len(x) * subsample) if subsample <= 1 else int(subsample)
             x, y, meta = x[:k], y[:k], meta[:k]
         return x, y, meta
-    # synthetic fallback: size the generation to the subsample directly
+    # synthetic fallback: size the generation to the subsample directly.
+    # Seed salt must be stable ACROSS processes (the phase workflow trains
+    # and evaluates in separate CLI invocations): Python's hash() is
+    # salted per-process, crc32 is not.
     n = {"train": 2048, "val": 512, "test": 512, "id_val": 512}[split]
     if subsample is not None:
         n = min(n, int(n * subsample) if subsample <= 1 else int(subsample))
-    return _synthetic(spec, n, seed + hash((task, split, fold)) % 1000)
+    salt = zlib.crc32(f"{task}/{split}/{fold}".encode()) % 1000
+    return _synthetic(spec, n, seed + salt)
 
 
 # ---------------------------------------------------------------------------
@@ -170,6 +197,50 @@ def worst_group_accuracy(
     return out
 
 
+def worst_region_accuracy(
+    preds: np.ndarray, targets: np.ndarray, region_meta: np.ndarray
+) -> dict:
+    """FMoW official metric: per-region accuracies and the worst over the
+    five real regions, excluding the 'Other' region (id 5) — matching the
+    WILDS ``dataset.eval`` key ``acc_worst_region`` the reference reports
+    (reference fmow.py:70; regions looped 0..4 at fmow.py:84)."""
+    correct = preds == targets
+    region = region_meta.reshape(len(preds), -1)[:, 0]
+    out = {"accuracy": float(correct.mean())}
+    worst = []
+    for rid, rname in enumerate(FMOW_REGIONS):
+        sel = region == rid
+        if sel.sum() == 0:
+            continue
+        acc = float(correct[sel].mean())
+        out[f"acc_region_{rname}"] = acc
+        if rname != "other":
+            worst.append(acc)
+    out["worst_region_acc"] = min(worst) if worst else 0.0
+    return out
+
+
+def tenth_percentile_accuracy(
+    preds: np.ndarray, targets: np.ndarray, user_meta: np.ndarray
+) -> dict:
+    """Amazon official metric: accuracy per reviewer (user), reported at
+    the 10th percentile across users with at least one example — the
+    WILDS ``dataset.eval`` key ``10th_percentile_acc`` the reference
+    reports (reference amazon.py:53; WILDS groups by metadata user
+    column and takes ``np.percentile(accs, 10)``)."""
+    correct = preds == targets
+    user = user_meta.reshape(len(preds), -1)[:, 0]
+    accs = np.array(
+        [float(correct[user == u].mean()) for u in np.unique(user)]
+    )
+    return {
+        "accuracy": float(correct.mean()),
+        "10th_percentile_acc": float(np.percentile(accs, 10)) if len(accs) else 0.0,
+        "worst_user_acc": float(accs.min()) if len(accs) else 0.0,
+        "n_users": int(len(accs)),
+    }
+
+
 def pearson_r(preds: np.ndarray, targets: np.ndarray) -> float:
     p, t = preds.reshape(-1), targets.reshape(-1)
     p = p - p.mean()
@@ -204,6 +275,10 @@ def evaluate_task(task: str, preds: np.ndarray, targets: np.ndarray, meta: np.nd
         }
     if spec.metric == "worst_group_acc":
         return worst_group_accuracy(preds, targets, meta)
+    if spec.metric == "worst_region_acc":
+        return worst_region_accuracy(preds, targets, meta)
+    if spec.metric == "tenth_percentile_acc":
+        return tenth_percentile_accuracy(preds, targets, meta)
     if spec.metric == "pearson":
         return worst_urban_rural_pearson(preds, targets, meta)
     return {"accuracy": float((preds == targets).mean())}

@@ -66,7 +66,10 @@ def run_phase(task: str, phase: str, params: dict, run_dirs, log, leave_out=None
 
         if phase == "fit_laplace":
             return cifar.fit_laplace_phase(params, run_dirs[0], log=log.info)
-        return cifar.multix_phase(params, run_dirs, leave_out=leave_out, log=log.info)
+        if phase == "multix":
+            return cifar.multix_phase(
+                params, run_dirs, leave_out=leave_out, log=log.info
+            )
     if task in WILDS_TASKS:
         from .experiments import wilds_task
 
@@ -78,9 +81,10 @@ def run_phase(task: str, phase: str, params: dict, run_dirs, log, leave_out=None
             )
         if phase == "eval":
             return wilds_task.eval_only_phase(task, params, run_dirs[0], log=log.info)
-        return wilds_task.multix_phase(
-            task, params, run_dirs, leave_out=leave_out, log=log.info
-        )
+        if phase == "multix":
+            return wilds_task.multix_phase(
+                task, params, run_dirs, leave_out=leave_out, log=log.info
+            )
     raise ValueError(f"phase {phase!r} not supported for task {task!r}")
 
 

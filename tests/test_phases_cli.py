@@ -36,6 +36,14 @@ def _read_metrics(path):
         return [json.loads(line) for line in f]
 
 
+def test_unsupported_task_phase_raises():
+    """cifar supports only fit_laplace/multix downstream phases; eval and
+    drop_rates must raise instead of silently running multix (ADVICE r2)."""
+    for phase in ("eval", "drop_rates"):
+        with pytest.raises(ValueError, match="not supported"):
+            cli.run_phase("cifar", phase, {}, ["/nonexistent"], None)
+
+
 @pytest.mark.slow
 def test_train_then_phases(tmp_path):
     sweep = tmp_path / "sweep.yaml"

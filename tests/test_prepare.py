@@ -75,6 +75,31 @@ def test_text_task_cache(data_root):
     assert xl.dtype == np.int32 and ml.shape == (n, 8)
 
 
+def test_poverty_standardized_floats_not_rescaled(data_root):
+    """PovertyMap images are standardized floats (negative, >1): they
+    must not be divided by 255 at write time nor flagged by verify
+    (ADVICE r2)."""
+    spec = W.TASKS["poverty"]
+    n = 4
+    x = (3.0 * np.random.randn(n, *spec.input_shape)).astype(np.float32)
+    prepare.write_wilds_cache("poverty", "train", x, np.zeros((n, 1)), np.zeros((n, 1)))
+    xl, _, _ = W.load_wilds("poverty", "train")
+    np.testing.assert_allclose(xl, x)  # untouched
+    report = prepare.verify_cache(log=lambda *_: None)
+    assert report["wilds/poverty_train.npz"] == "ok"
+
+
+def test_verify_parses_id_val_split(data_root):
+    """amazon_id_val.npz must parse as task 'amazon', not 'amazon_id'
+    (ADVICE r2)."""
+    spec = W.TASKS["amazon"]
+    ids = np.random.randint(0, 1000, (3, spec.seq_len))
+    x = np.stack([ids, np.ones_like(ids)], axis=-1)
+    prepare.write_wilds_cache("amazon", "id_val", x, np.zeros(3), np.zeros((3, 1)))
+    report = prepare.verify_cache(log=lambda *_: None)
+    assert report["wilds/amazon_id_val.npz"] == "ok"
+
+
 def test_prepare_uci_from_raw_file(data_root, tmp_path):
     raw = tmp_path / "uci_raw"
     raw.mkdir()

@@ -28,6 +28,71 @@ def test_worst_group_accuracy():
     assert out["acc_male_y0"] == 0.5  # points 0 (correct) and 2 (wrong)
 
 
+def test_worst_region_accuracy():
+    # region 0: both correct; region 1: 1/2; region 5 ("other"): all
+    # wrong but excluded from the worst (reference fmow.py:70,84)
+    preds = np.array([3, 3, 7, 7, 1, 1])
+    targets = np.array([3, 3, 7, 2, 0, 0])
+    meta = np.array([0, 0, 1, 1, 5, 5])[:, None]
+    out = W.worst_region_accuracy(preds, targets, meta)
+    assert out["worst_region_acc"] == 0.5
+    assert out["acc_region_asia"] == 1.0
+    assert out["acc_region_other"] == 0.0
+    np.testing.assert_allclose(out["accuracy"], 3 / 6)
+    # dispatched for fmow
+    d = W.evaluate_task("fmow", preds, targets, meta)
+    assert d["worst_region_acc"] == 0.5
+
+
+def test_tenth_percentile_accuracy():
+    # 20 users, user k has accuracy k/10 capped at 1 over 10 examples
+    rng = np.random.RandomState(0)
+    users, preds, targets = [], [], []
+    accs = []
+    for u in range(20):
+        acc = min(u, 10) / 10
+        accs.append(acc)
+        for i in range(10):
+            users.append(u)
+            targets.append(1)
+            preds.append(1 if i < acc * 10 else 0)
+    preds, targets = np.array(preds), np.array(targets)
+    meta = np.array(users)[:, None]
+    out = W.tenth_percentile_accuracy(preds, targets, meta)
+    assert out["n_users"] == 20
+    np.testing.assert_allclose(
+        out["10th_percentile_acc"], np.percentile(accs, 10), rtol=1e-9
+    )
+    assert out["worst_user_acc"] == 0.0
+    d = W.evaluate_task("amazon", preds, targets, meta)
+    assert "10th_percentile_acc" in d
+
+
+def test_synthetic_seed_stable_across_processes():
+    """The synthetic-fallback salt must not use Python's salted hash():
+    train and eval phases run in separate processes and must see the
+    same data (ADVICE r2)."""
+    import subprocess
+    import sys
+
+    code = (
+        "from beyond_deep_ensembles_tpu.data.wilds import load_wilds;"
+        "import numpy as np;"
+        "x,y,m = load_wilds('camelyon17','val',subsample=8);"
+        "print(float(np.asarray(x, dtype=np.float64).sum()))"
+    )
+    outs = [
+        subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+        ).stdout.strip().splitlines()[-1]
+        for _ in range(2)
+    ]
+    assert outs[0] == outs[1]
+
+
 def test_pearson_and_poverty_metric():
     rng = np.random.RandomState(0)
     t = rng.randn(100)
