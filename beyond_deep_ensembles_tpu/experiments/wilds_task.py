@@ -432,13 +432,6 @@ def build(task: str, config: dict, key: jax.Array, steps_per_epoch: int) -> Buil
     return BuiltExperiment(model, inner, state, apply_fn, regression)
 
 
-def _make_backbone_with_head(task, config, head_kind):
-    """Backbone with a Bayesian head layer (for ll_bbb)."""
-    return _make_backbone(task, config, "plain") if head_kind == "plain" else _make_backbone(
-        task, {**config, "rank1_components": config.get("rank1_components", 1)}, "plain"
-    )
-
-
 def _make_sngp(task: str, config: dict) -> Model:
     """Spectral-norm backbone + SNGP head for image tasks; BERT + SNGP
     head for text (reference iwildcam/fmow/civilcomments sngp builders)."""

@@ -78,7 +78,16 @@ class PosteriorMethod:
     init(key, params, model_state) -> state
         Build method state around initial model params.
     update(state, key, batch) -> (state, metrics)
-        One optimization step; fully jittable.
+        One optimization step; fully jittable. CONTRACT:
+        ``metrics['loss']`` must be the pre-update minibatch loss as a
+        differentiable function of the parameters the loss was evaluated
+        at — not ``stop_gradient``-ed, not recomputed post-update, not
+        rescaled relative to the data term. ``last_layer_method``
+        differentiates it w.r.t. the backbone to share one forward+
+        backward between the head and backbone steps; a detached loss
+        would silently zero the backbone gradient
+        (tests/test_composition.py asserts backbone movement per inner
+        method).
     sample(state, key) -> (params, model_state)
         Draw parameters from the posterior for one prediction
         (reference ``sample_parameters``, algo.py:31-36). Methods whose

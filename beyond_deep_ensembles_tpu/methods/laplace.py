@@ -287,7 +287,25 @@ def laplace_method(
         return jax.tree.unflatten(treedef, leaves), state.model_state
 
     def fit(state: MethodState, data, key=None):
-        """data: (x, y) arrays or an iterable of (x, y) batches."""
+        """data: (x, y) arrays or an iterable of (x, y) batches.
+
+        A deep-ensemble state (vmapped member axis — detected by the
+        state's ``step`` counter being a vector instead of a scalar) is
+        fitted per member and restacked, matching the reference's
+        per-checkpoint fit_laplace + multisample DeepEnsemble combination
+        (reference ensemble.py:34-35, experiments/*/fit_laplace.py);
+        blindly raveling the member axis into the last-layer vector would
+        produce a garbage posterior."""
+        step_field = getattr(state, "step", None)
+        if step_field is not None and jnp.ndim(step_field) >= 1:
+            from ..tree import tree_stack
+
+            n_members = step_field.shape[0]
+            fitted = [
+                fit(jax.tree.map(lambda l, i=i: l[i], state), data, key)
+                for i in range(n_members)
+            ]
+            return tree_stack(fitted)
         if isinstance(data, tuple):
             x, y = data
             data_batches = [

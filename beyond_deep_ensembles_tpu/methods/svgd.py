@@ -78,13 +78,29 @@ def svgd_method(
         """``params`` must already be STACKED with leading particle axis
         (build with ``vmap(model.init)`` over ``particle_count`` keys —
         the reference re-initialized the module per particle,
-        svgd.py:58-63)."""
+        svgd.py:58-63).
+
+        ``model_state`` (batch stats, SNGP precision) is stored stacked
+        per-particle too — each particle's forward updates its own
+        statistics. An unstacked tree (e.g. from a single ``model.init``)
+        is broadcast to all particles."""
         del key
         n = jax.tree.leaves(params)[0].shape[0]
         assert n == particle_count, f"expected {particle_count} particles, got {n}"
+        if model_state is None or not jax.tree.leaves(model_state):
+            model_state = {}
+        else:
+            stacked = all(
+                hasattr(l, "ndim") and l.ndim >= 1 and l.shape[0] == n
+                for l in jax.tree.leaves(model_state)
+            )
+            if not stacked:
+                model_state = jax.tree.map(
+                    lambda l: jnp.broadcast_to(l, (n,) + jnp.shape(l)), model_state
+                )
         return SvgdState(
             params=params,
-            model_state=model_state or {},
+            model_state=model_state,
             opt_state=jax.vmap(tx.init)(params),
             step=jnp.int32(0),
             epoch=jnp.int32(0),
@@ -92,14 +108,16 @@ def svgd_method(
 
     def update(state: SvgdState, key, batch):
         keys = jax.random.split(key, particle_count)
+        has_model_state = bool(jax.tree.leaves(state.model_state))
 
-        def one_loss(params, k):
-            out = loss_fn(params, state.model_state, k, batch)
+        def one_loss(params, k, model_state):
+            out = loss_fn(params, model_state, k, batch)
             return out.loss, out
 
         (losses, outs), grads = jax.vmap(
-            jax.value_and_grad(one_loss, has_aux=True), in_axes=(0, 0)
-        )(state.params, keys)
+            jax.value_and_grad(one_loss, has_aux=True),
+            in_axes=(0, 0, 0 if has_model_state else None),
+        )(state.params, keys, state.model_state if has_model_state else None)
 
         particle_mat = jax.vmap(ravel)(state.params)  # [n, P]
         grad_mat = jax.vmap(ravel)(grads)  # [n, P]
@@ -135,10 +153,16 @@ def svgd_method(
         pick = lambda n_, o_: jax.tree.map(
             lambda a, b: jnp.where(ok, a, b) if isinstance(a, jax.Array) else a, n_, o_
         )
-        model_state = outs.model_state or state.model_state
-        if model_state is not state.model_state:
-            # vmapped loss returns stacked model state; keep particle 0's.
-            model_state = jax.tree.map(lambda l: l[0], model_state)
+        # Explicit None/empty check — NOT pytree truthiness, which would
+        # evaluate traced leaves. The vmapped loss returns model state
+        # stacked per-particle; keep it stacked (each particle trains its
+        # own batch stats; reference trains particles sequentially through
+        # the same module, svgd.py:67-80).
+        new_ms = outs.model_state
+        if new_ms is None or not jax.tree.leaves(new_ms):
+            model_state = state.model_state
+        else:
+            model_state = new_ms
         new_state = state.replace(
             params=pick(new_params, state.params),
             model_state=model_state,
@@ -149,13 +173,14 @@ def svgd_method(
 
     def sample(state: SvgdState, key, index=None):
         """Cycle through particles (reference svgd.py:107-112); the
-        prediction index selects the particle."""
+        prediction index selects the particle (and its model state)."""
         del key
         if index is None:
             index = 0
         member = jnp.asarray(index) % particle_count
         params = jax.tree.map(lambda l: l[member], state.params)
-        return params, state.model_state
+        model_state = jax.tree.map(lambda l: l[member], state.model_state)
+        return params, model_state
 
     return PosteriorMethod(
         init=init,

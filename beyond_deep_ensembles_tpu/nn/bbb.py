@@ -88,14 +88,22 @@ class BBBDense(nn.Module):
 
 
 class BBBConv(nn.Module):
-    """Variational conv layer, local reparameterization
-    (reference BBBConv2d, bbb_layers.py:105-163). NHWC / HWIO layout."""
+    """Variational conv layer (reference BBBConv2d, bbb_layers.py:105-163).
+    NHWC / HWIO layout.
+
+    sampling='activations': local reparameterization (the reference's
+    only working mode).
+    sampling='parameters': draw the kernel/bias explicitly and run one
+    conv — the reference declares this mode but raises
+    NotImplementedError (bbb_layers.py:142-143); here it is implemented,
+    matching BBBDense's parameters path semantics."""
 
     features: int
     kernel_size: Sequence[int]
     strides: Union[int, Sequence[int]] = 1
     padding: Union[str, int, Sequence] = 0
     use_bias: bool = True
+    sampling: str = "activations"
     freeze_on_eval: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -128,6 +136,16 @@ class BBBConv(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=acc_t,
             ).astype(jnp.float32)
+
+        if self.sampling == "parameters":
+            w = gaussian_sample(self.make_rng("noise"), w_mean, w_std)
+            out = conv(x, w)
+            if self.use_bias:
+                b = gaussian_sample(self.make_rng("noise"), b_mean, b_std)
+                out = out + b
+            return out.astype(self.dtype)
+        if self.sampling != "activations":
+            raise ValueError(f"invalid sampling mode {self.sampling!r}")
 
         act_mean = conv(x, w_mean)
         act_var = conv(jnp.maximum(x * x, VAR_CLAMP), jnp.maximum(w_std * w_std, VAR_CLAMP))

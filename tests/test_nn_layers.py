@@ -3,6 +3,7 @@ noise, Rank-1 factors, GaussLayer packing, FixableDropout."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from beyond_deep_ensembles_tpu.nn import (
     BBBConv,
@@ -77,6 +78,43 @@ def test_bbb_conv_runs_and_freezes():
     out, _, _ = model.apply(params, state, jax.random.key(1), x, train=False)
     assert out.shape == (2, 8, 8, 4)
     np.testing.assert_allclose(out[0], out[1], rtol=1e-5)
+
+
+def test_bbb_conv_parameters_sampling_moments():
+    """sampling='parameters' (our extension — the reference declares but
+    never implements it for conv, bbb_layers.py:142-143): explicit weight
+    draws must reproduce the local-reparameterization moments wherever the
+    activations path's 1e-4 clamps are inactive."""
+    key = jax.random.key(0)
+    # inputs well above the sqrt(1e-4)=0.01 clamp scale
+    x = jax.random.normal(key, (2, 6, 6, 3)) + 2.0
+    model = Model(BBBConv(4, (3, 3), padding=1, sampling="parameters"))
+    params, state = model.init(jax.random.key(1), x)
+
+    w_mean = params["kernel__gmean"]
+    w_std = jax.nn.softplus(params["kernel__grho"])
+    b_mean = params["bias__gmean"]
+    b_std = jax.nn.softplus(params["bias__grho"])
+
+    def conv(lhs, rhs):
+        return jax.lax.conv_general_dilated(
+            lhs, rhs, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    exp_mean = conv(x, w_mean) + b_mean
+    exp_var = conv(x**2, w_std**2) + b_std**2
+
+    keys = jax.random.split(jax.random.key(10), 4000)
+    outs = jax.jit(
+        jax.vmap(lambda k: model.apply(params, state, k, x, train=True)[0])
+    )(keys)
+    np.testing.assert_allclose(outs.mean(0), exp_mean, atol=0.05)
+    np.testing.assert_allclose(outs.var(0), exp_var, rtol=0.2, atol=1e-4)
+
+    with pytest.raises(ValueError, match="sampling"):
+        m = Model(BBBConv(4, (3, 3), padding=1, sampling="bogus"))
+        p, s = m.init(jax.random.key(0), x)
 
 
 def test_gaussian_labels_and_kl():
