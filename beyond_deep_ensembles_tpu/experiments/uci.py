@@ -116,7 +116,15 @@ def _base_tx(config):
     wd = config.get("weight_decay", 0.0)
     # The GaussLayer rho (``__mle``) is trained by a separate SGD in the
     # reference (uci/models.py:17-21); optax multi-transform reproduces it.
-    main = optax.adamw(config["lr"], weight_decay=wd) if wd else optax.adam(config["lr"])
+    # Weight decay: torch.optim.Adam's weight_decay is COUPLED L2 (added
+    # to the gradient BEFORE the moment updates), not AdamW's decoupled
+    # decay — add_decayed_weights before adam reproduces the reference
+    # builders (uci/models.py:53 Adam(**config["optimizer"]["base"])).
+    main = (
+        optax.chain(optax.add_decayed_weights(wd), optax.adam(config["lr"]))
+        if wd
+        else optax.adam(config["lr"])
+    )
     var = optax.sgd(config.get("var_lr", 0.01))
 
     def label(params):
@@ -154,7 +162,11 @@ def build(config: dict, train_set_size: int, key: jax.Array) -> BuiltExperiment:
         steps_per_epoch = max(1, train_set_size // config["batch_size"])
         start_epoch = int(config["swag_start"] * config["epochs"])
         swag_epochs = max(1, config["epochs"] - start_epoch)
-        update_interval = max(1, int(steps_per_epoch * swag_epochs / 30))
+        # explicit interval wins (reference yaml sets update_interval
+        # directly, uci.yaml SWAG block); else the HPO-formula derivation
+        update_interval = config.get("swag_update_interval") or max(
+            1, int(steps_per_epoch * swag_epochs / 30)
+        )
         inner = swag_method(
             _loss_fn_for(model),
             _base_tx(config),
