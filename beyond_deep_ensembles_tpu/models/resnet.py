@@ -280,6 +280,64 @@ class ResNet20(nn.Module):
         return call_layer(head, h, train, component)
 
 
+class WilsonResNet20(nn.Module):
+    """Faithful port of the VENDORED bnn-hmc ResNet-20 (reference
+    google-bnn-hmc/bnn_hmc/utils/models.py:95-176 make_resnet_fn) — the
+    architecture of the published Wilson-et-al HMC samples.
+
+    It differs from the torch reference's ResNet20 (resnet.py:122-148,
+    our ``ResNet20``): the stem is conv+FRN+activation (not bare conv),
+    and the downsample shortcut is a biased 1x1 conv followed by FRN
+    (the torch one is bias-free with no norm). 107 parameter leaves vs 96.
+
+    Modules are named ``conv_{i}`` / ``frn_{i}`` in creation order —
+    exactly haiku's ``conv2_d{,_i}`` / ``frn{,_i}`` instance numbering —
+    so checkpoint conversion is a deterministic name map, not shape
+    guessing (``data/wilson.py convert_wilson_sample``)."""
+
+    classes: int = 10
+    activation: str = "swish"
+    width: int = 16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        del train
+        act = _activation(self.activation)
+        he_normal = nn.initializers.variance_scaling(
+            2.0, "fan_in", "truncated_normal"
+        )
+        counter = iter(range(100))
+
+        def layer(h, features, kernel=3, stride=1, activation=lambda v: v):
+            i = next(counter)
+            h = nn.Conv(
+                features,
+                (kernel, kernel),
+                strides=(stride, stride),
+                padding="SAME",
+                use_bias=True,
+                kernel_init=he_normal,
+                name=f"conv_{i}",
+            )(h)
+            h = FilterResponseNorm(name=f"frn_{i}")(h)
+            return activation(h)
+
+        num_filters = self.width
+        h = layer(x, num_filters, activation=act)
+        for stack in range(3):
+            for block in range(3):
+                stride = 2 if (stack > 0 and block == 0) else 1
+                y = layer(h, num_filters, stride=stride, activation=act)
+                y = layer(y, num_filters)
+                if stack > 0 and block == 0:
+                    h = layer(h, num_filters, kernel=1, stride=stride)
+                h = act(h + y)
+            num_filters *= 2
+        h = nn.avg_pool(h, (8, 8), strides=(8, 8))
+        h = h.reshape(h.shape[0], -1)
+        return nn.Dense(self.classes, kernel_init=he_normal, name="linear")(h)
+
+
 class PreResNet20(nn.Module):
     """Reference PreResNet20 (resnet.py:244-272)."""
 

@@ -11,7 +11,7 @@ from flax import linen as nn
 from ..nn.base import Model
 from .cnn_lstm import CNNLSTM, smooth_cnn_lstm
 from .lenet import LeNet5
-from .resnet import ResNet20
+from .resnet import WilsonResNet20
 
 
 class MLP(nn.Module):
@@ -35,11 +35,13 @@ def get_model(name: str, num_classes: int = 10, **kw) -> Model:
     """Mirror of the reference registry (models.py:293-318)."""
     builders = {
         "lenet": lambda: LeNet5(classes=num_classes),
-        "resnet20_frn": lambda: ResNet20(
-            classes=num_classes, activation="relu", norm="frn", **kw
+        # the vendored make_resnet_fn arch (initial FRN, normalized biased
+        # shortcut — models.py:95-176), NOT the torch-reference ResNet20
+        "resnet20_frn": lambda: WilsonResNet20(
+            classes=num_classes, activation="relu", **kw
         ),
-        "resnet20_frn_swish": lambda: ResNet20(
-            classes=num_classes, activation="swish", norm="frn", **kw
+        "resnet20_frn_swish": lambda: WilsonResNet20(
+            classes=num_classes, activation="swish", **kw
         ),
         "cnn_lstm": lambda: CNNLSTM(classes=num_classes, **kw),
         "smooth_cnn_lstm": lambda: smooth_cnn_lstm(classes=num_classes, **kw),
