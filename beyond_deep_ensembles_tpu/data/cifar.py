@@ -144,7 +144,10 @@ def load_cifar10_corrupted(
     root = os.path.join(data_dir(), "CIFAR-10-C")
     if os.path.exists(root):
         labels = np.load(os.path.join(root, "labels.npy")).astype(np.int64)
-        sel = slice(intensity * 10_000, (intensity + 1) * 10_000)
+        # the Hendrycks dump stacks 5 intensities of the 10k test set per
+        # file (50k rows); infer the block so reduced dumps also load
+        block = len(labels) // 5
+        sel = slice(intensity * block, (intensity + 1) * block)
         xs, ys = [], []
         for file in sorted(os.listdir(root)):
             if file == "labels.npy":

