@@ -64,6 +64,24 @@ except Exception:
     FAST_RNG = False
 
 
+def _init_on_host(build_state):
+    """Run eager init code on the CPU backend, then transfer once.
+
+    Unjitted init (flax module.init, optax tx.init) executes op by op;
+    through the tunneled backend every tiny op costs a ~1-2 min
+    compile+RPC round trip (measured r3), so a fresh-program bench burned
+    its whole budget inside ``model.init``. On host CPU the same ops are
+    milliseconds; one bulk device_put moves the result."""
+    dev = jax.devices()[0]
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return build_state()
+    with jax.default_device(cpu):
+        state = build_state()
+    return jax.device_put(state, dev)
+
+
 def tunnel_latency():
     """Per-call dispatch+fetch latency of the tunneled backend (measured
     ~30 ms), subtracted from timing windows."""
@@ -89,20 +107,22 @@ def _timed(call, reps=TIMING_REPS):
     return best
 
 
-def bench_bbb_resnet20(lat):
+def bench_bbb_resnet20(lat, dtype=None, mc_samples=1, scan_k=None):
     from beyond_deep_ensembles_tpu.methods import GaussianPrior, bbb_method
     from beyond_deep_ensembles_tpu.methods.api import LossOutput
     from beyond_deep_ensembles_tpu.models.resnet import ResNet20
     from beyond_deep_ensembles_tpu.nn.base import Model
     from beyond_deep_ensembles_tpu.parallel.multistep import make_multi_step
 
+    scan_k = scan_k or SCAN_K
     model = Model(
         ResNet20(
             classes=10,
             activation="swish",
             norm="frn",
             conv_kind="bbb",
-            dtype=jnp.bfloat16,  # bf16 compute, fp32 params/accumulation
+            # default bf16 compute, fp32 params/accumulation
+            dtype=dtype or jnp.bfloat16,
         )
     )
 
@@ -118,20 +138,23 @@ def bench_bbb_resnet20(lat):
         optax.adam(3e-4),
         GaussianPrior(0.0, 1.0),
         dataset_size=50_000,
-        mc_samples=1,
+        mc_samples=mc_samples,
     )
 
-    x = jnp.zeros((BATCH, 32, 32, 3), jnp.float32)
-    params, model_state = model.init(jax.random.key(0), x)
-    state = method.init(jax.random.key(1), params, model_state)
+    def build():
+        x = jnp.zeros((BATCH, 32, 32, 3), jnp.float32)
+        params, model_state = model.init(jax.random.key(0), x)
+        return method.init(jax.random.key(1), params, model_state)
 
-    # 256 DISTINCT minibatches so the scanned step can never constant-fold.
+    state = _init_on_host(build)
+
+    # scan_k DISTINCT minibatches so the scanned step can never constant-fold.
     stacked = (
-        jax.random.normal(jax.random.key(2), (SCAN_K, BATCH, 32, 32, 3)),
-        jax.random.randint(jax.random.key(3), (SCAN_K, BATCH), 0, 10),
+        jax.random.normal(jax.random.key(2), (scan_k, BATCH, 32, 32, 3)),
+        jax.random.randint(jax.random.key(3), (scan_k, BATCH), 0, 10),
     )
 
-    multi = make_multi_step(method.update, SCAN_K)
+    multi = make_multi_step(method.update, scan_k)
 
     holder = {"state": state, "i": 0}
 
@@ -142,7 +165,7 @@ def bench_bbb_resnet20(lat):
         return float(m["loss"])  # scalar fetch = the sync
 
     dt = max(_timed(run) - lat, 1e-9)
-    step_s = dt / SCAN_K
+    step_s = dt / scan_k
 
     # XLA's own flop/byte counts. NOTE: cost_analysis does not multiply a
     # scan body by its trip count, so cost the SINGLE-step program.
@@ -171,6 +194,7 @@ def bench_bbb_resnet20(lat):
         out["achieved_tflops"] = flops_per_step / step_s / 1e12
         out["mfu_vs_v5e_bf16_peak"] = flops_per_step / step_s / V5E_BF16_PEAK_FLOPS
     if bytes_per_step:
+        out["bytes_per_step"] = bytes_per_step
         out["hbm_gbps"] = bytes_per_step / step_s / 1e9
         out["hbm_util_vs_v5e_peak"] = bytes_per_step / step_s / V5E_HBM_GBPS
     return out
@@ -207,11 +231,14 @@ def bench_svgd_mlp(lat, particles: int = 20):
             "b3": jnp.zeros(1),
         }
 
-    stacked = tree_stack([init_one(k) for k in jax.random.split(jax.random.key(0), particles)])
     method = svgd_method(
         loss_fn, optax.adam(1e-3), particle_count=particles, dataset_size=512, l2_reg=1e-2
     )
-    state = method.init(jax.random.key(1), stacked, {})
+    state = _init_on_host(lambda: method.init(
+        jax.random.key(1),
+        tree_stack([init_one(k) for k in jax.random.split(jax.random.key(0), particles)]),
+        {},
+    ))
     # the MLP step is tiny: a long scan keeps the window >> tunnel latency
     K = 4096
     batches = (
@@ -251,9 +278,13 @@ def bench_mc_eval(lat, samples: int = 50):
         return LossOutput(loss=jnp.mean(out), kl=kl, model_state=new_state)
 
     method = map_method(loss_fn, optax.sgd(0.1))
-    x = jnp.zeros((BATCH, 32, 32, 3), jnp.float32)
-    params, ms = model.init(jax.random.key(0), x)
-    state = method.init(jax.random.key(1), params, ms)
+
+    def build():
+        x = jnp.zeros((BATCH, 32, 32, 3), jnp.float32)
+        params, ms = model.init(jax.random.key(0), x)
+        return method.init(jax.random.key(1), params, ms)
+
+    state = _init_on_host(build)
 
     def apply_fn(params, model_state, key, xb):
         out, _, _ = model.apply(params, model_state, key, xb, train=False)
@@ -308,12 +339,42 @@ def load_anchor():
         return None
 
 
+def _stage(msg):
+    import sys
+
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     lat = tunnel_latency()
+    _stage(f"latency {lat*1e3:.1f} ms")
     health = chip_health_probe(lat)
+    _stage(f"health {health}")
     bbb = bench_bbb_resnet20(lat)
+    _stage(f"bbb mc1 {bbb.get('step_ms'):.2f} ms")
+    # Reconciled per-config table (VERDICT r2 weak #1): the headline is
+    # mc=1 bf16; every experiment default uses mc=2 (cifar.py bbb_mc_samples)
+    # and the full-scale artifact ran mc=2 fp32 + augmentation. One table,
+    # one methodology, so the rows multiply into each other.
+    # scan_k=32 keeps the mc=2 rows' compile small (the tunneled backend
+    # compiles big conv scans in minutes); the 32-step window is still
+    # ~10x the tunnel latency for these >6 ms steps.
+    table = {"mc1_bf16": bbb}
+    try:
+        table["mc2_bf16"] = bench_bbb_resnet20(
+            lat, dtype=jnp.bfloat16, mc_samples=2, scan_k=32
+        )
+        _stage(f"bbb mc2 bf16 {table['mc2_bf16']['step_ms']:.2f} ms")
+        table["mc2_fp32"] = bench_bbb_resnet20(
+            lat, dtype=jnp.float32, mc_samples=2, scan_k=32
+        )
+        _stage(f"bbb mc2 fp32 {table['mc2_fp32']['step_ms']:.2f} ms")
+    except Exception as e:
+        _stage(f"table failed: {e!r}")
     svgd = bench_svgd_mlp(lat)
+    _stage("svgd done")
     mc = bench_mc_eval(lat)
+    _stage("mc_eval done")
     anchor = load_anchor()
 
     result = {
@@ -344,8 +405,28 @@ def main():
     if "hbm_gbps" in bbb:
         extra["bbb_hbm_gbps"] = round(bbb["hbm_gbps"], 1)
         extra["bbb_hbm_util_vs_v5e_peak"] = round(bbb["hbm_util_vs_v5e_peak"], 4)
+        # cost_analysis "bytes accessed" counts logical buffer accesses
+        # BEFORE fusion elides them, so implied GB/s can exceed the
+        # physical peak (notably for fp32 rows); it is an upper bound on
+        # true traffic, useful for cross-config ratios, not absolutes.
+        extra["hbm_note"] = "bytes from XLA cost analysis (pre-fusion upper bound)"
     extra["chip_health"] = health
     extra["prng_impl"] = "rbg" if FAST_RNG else "threefry2x32"
+
+    # per-config rows + full-scale-epoch reconciliation (390 steps/epoch
+    # at bs128 over 50k images; augmentation runs inside the same step)
+    rows = {}
+    for name, r in table.items():
+        rows[name] = {
+            "step_ms": round(r["step_ms"], 2),
+            "hbm_gbps": round(r.get("hbm_gbps", 0.0), 1),
+            "bytes_per_step_mb": round(r.get("bytes_per_step", 0.0) / 1e6, 1),
+        }
+    if "mc2_fp32" in table:
+        rows["projected_epoch_s_mc2_fp32"] = round(
+            390 * table["mc2_fp32"]["step_ms"] / 1e3, 2
+        )
+    extra["bbb_table"] = rows
     result["extra"] = extra
 
     print(json.dumps(result))

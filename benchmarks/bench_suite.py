@@ -111,15 +111,20 @@ def build(algo: str, batch: int, dtype=jnp.bfloat16):
     else:
         raise ValueError(algo)
 
-    x = jnp.zeros((batch, 32, 32, 3), jnp.float32)
-    if particles:
-        keys = jax.random.split(jax.random.key(0), particles)
-        pairs = [model.init(k, x) for k in keys]
-        state = method.init(jax.random.key(1), tree_stack([p for p, _ in pairs]), pairs[0][1])
-    else:
-        params, ms = model.init(jax.random.key(0), x)
-        state = method.init(jax.random.key(1), params, ms)
-    return model, method, state, particles or 1
+    # init on host CPU: eager ops through the tunnel cost minutes each
+    dev = jax.devices()[0]
+    with jax.default_device(jax.devices("cpu")[0]):
+        x = jnp.zeros((batch, 32, 32, 3), jnp.float32)
+        if particles:
+            keys = jax.random.split(jax.random.key(0), particles)
+            pairs = [model.init(k, x) for k in keys]
+            state = method.init(
+                jax.random.key(1), tree_stack([p for p, _ in pairs]), pairs[0][1]
+            )
+        else:
+            params, ms = model.init(jax.random.key(0), x)
+            state = method.init(jax.random.key(1), params, ms)
+    return model, method, jax.device_put(state, dev), particles or 1
 
 
 def main():

