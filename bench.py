@@ -346,6 +346,15 @@ def _stage(msg):
 
 
 def main():
+    # Budget guard: cold compiles through the tunnel cost minutes each;
+    # if we're near the driver's window, skip the optional table rows
+    # rather than lose the headline. Warm-cache runs finish in ~3-4 min.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    t_start = time.perf_counter()
+
+    def over_budget():
+        return time.perf_counter() - t_start > budget_s * 0.55
+
     lat = tunnel_latency()
     _stage(f"latency {lat*1e3:.1f} ms")
     health = chip_health_probe(lat)
@@ -361,14 +370,16 @@ def main():
     # ~10x the tunnel latency for these >6 ms steps.
     table = {"mc1_bf16": bbb}
     try:
-        table["mc2_bf16"] = bench_bbb_resnet20(
-            lat, dtype=jnp.bfloat16, mc_samples=2, scan_k=32
-        )
-        _stage(f"bbb mc2 bf16 {table['mc2_bf16']['step_ms']:.2f} ms")
-        table["mc2_fp32"] = bench_bbb_resnet20(
-            lat, dtype=jnp.float32, mc_samples=2, scan_k=32
-        )
-        _stage(f"bbb mc2 fp32 {table['mc2_fp32']['step_ms']:.2f} ms")
+        if not over_budget():
+            table["mc2_bf16"] = bench_bbb_resnet20(
+                lat, dtype=jnp.bfloat16, mc_samples=2, scan_k=32
+            )
+            _stage(f"bbb mc2 bf16 {table['mc2_bf16']['step_ms']:.2f} ms")
+        if not over_budget():
+            table["mc2_fp32"] = bench_bbb_resnet20(
+                lat, dtype=jnp.float32, mc_samples=2, scan_k=32
+            )
+            _stage(f"bbb mc2 fp32 {table['mc2_fp32']['step_ms']:.2f} ms")
     except Exception as e:
         _stage(f"table failed: {e!r}")
     svgd = bench_svgd_mlp(lat)

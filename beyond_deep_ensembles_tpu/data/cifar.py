@@ -56,15 +56,31 @@ def normalize(images_uint8_or_float: np.ndarray) -> np.ndarray:
     return (x - MEAN) / STD
 
 
-def _synthetic_cifar(n: int, seed: int, classes: int = 10):
+def _synthetic_cifar(n: int, seed: int, classes: int = 10, hard: Optional[bool] = None):
     """Class-structured blobs: each class gets a color direction + spatial
     frequency so that small convnets can actually fit it. Class
     prototypes come from a FIXED rng so train/test splits share them
-    (per-split seeds only drive sampling noise)."""
+    (per-split seeds only drive sampling noise).
+
+    ``hard`` (default: env ``BDE_SYNTH_HARD=1``) makes the task
+    non-separable so convergence artifacts mean something: each image is
+    a random convex mix of its class prototype and a random OTHER class
+    prototype (overlapping class-conditionals), and 10% of labels are
+    resampled uniformly. Bayes error is therefore bounded away from
+    zero and calibration metrics (NLL/ECE) are informative — a model
+    reporting accuracy 1.0 on this variant is a bug, not a success."""
+    if hard is None:
+        hard = os.environ.get("BDE_SYNTH_HARD", "0") == "1"
     rng = np.random.RandomState(seed)
     y = rng.randint(0, classes, size=n)
     base = np.random.RandomState(1234).randn(classes, 4, 4, 3).astype(np.float32)
     imgs = base[y]
+    if hard:
+        # overlapping class-conditionals: mix in a random other class
+        # prototype with weight up to 0.55 (ambiguous at mix≈0.5)
+        other = base[(y + 1 + rng.randint(0, classes - 1, size=n)) % classes]
+        mix = rng.uniform(0.45, 1.0, size=(n, 1, 1, 1)).astype(np.float32)
+        imgs = mix * imgs + (np.float32(1.0) - mix) * other
     imgs = imgs.repeat(8, axis=1).repeat(8, axis=2)
     # float32 throughout: the build host is single-core and float64
     # promotion on 600 MB arrays costs minutes.
@@ -73,6 +89,10 @@ def _synthetic_cifar(n: int, seed: int, classes: int = 10):
     )
     imgs = np.float32(0.5) + np.float32(0.15) * imgs + np.float32(0.1) * noise
     np.clip(imgs, 0, 1, out=imgs)
+    if hard:
+        # 10% label noise, resampled uniformly (so ~10%*(C-1)/C flipped)
+        flip = rng.rand(n) < 0.1
+        y = np.where(flip, rng.randint(0, classes, size=n), y)
     return imgs, y.astype(np.int64)
 
 

@@ -196,7 +196,9 @@ def build(config: dict, key: jax.Array, steps_per_epoch: int = 390) -> BuiltExpe
     # device_data epoch runner augments the whole epoch in ONE bulk pass
     # (parallel/multistep.py epoch_transform) — the loss must not
     # re-augment; every other path augments per step inside the loss.
-    aug_in_loss = not config.get("device_data")
+    # config["augment"]=False disables augmentation entirely (matched
+    # no-augmentation protocols, e.g. differential parity runs).
+    aug_in_loss = config.get("augment", True) and not config.get("device_data")
 
     particles = None
     if name in ("map", "laplace"):
@@ -338,7 +340,7 @@ def train(
             method.update,
             x.shape[0],
             config["batch_size"],
-            epoch_transform=epoch_transform,
+            epoch_transform=epoch_transform if config.get("augment", True) else None,
         )
         key = jax.random.key(config["seed"])
         ckpt_dir = config.get("checkpoint_dir")
@@ -437,14 +439,40 @@ def eval_model(
     bs = config["eval_batch_size"]
     outs, targets = [], []
 
+    key = jax.random.key(seed)
+    n = x.shape[0]
+
+    if config.get("device_eval", config.get("device_data")):
+        # TPU-first fast path mirroring the training-side epoch runner:
+        # the whole test set lives in HBM and the posterior-predictive
+        # eval is ONE jitted scan — one dispatch instead of one per
+        # batch (~30 ms tunnel latency each).
+        from ..parallel.multistep import make_eval_runner
+
+        def predict_one(state, k, xb):
+            log_probs = predict(
+                method, state, built.apply_fn, xb,
+                n_samples=config["eval_samples"], key=k,
+            )
+            return bayesian_model_average(log_probs)
+
+        runner = make_eval_runner(predict_one, n, bs)
+        log_marginal = runner(state, key, jnp.asarray(x))
+        target = jnp.asarray(y)
+        baseline = None
+        if baseline_log_probs is not None:
+            baseline = jnp.asarray(baseline_log_probs[:n])
+        correct, conf, ll, agree, tv = analyze_output(log_marginal, target, baseline)
+        return EvalResult.create(
+            correct, conf, ll, bin_count=config["ece_bins"],
+            agreements=agree, total_variations=tv,
+        )
+
     @jax.jit
     def predict_batch(state, xb, key):
         return predict(
             method, state, built.apply_fn, xb, n_samples=config["eval_samples"], key=key
         )
-
-    key = jax.random.key(seed)
-    n = x.shape[0]
     # Pad the final partial batch (static shapes for jit) and trim after —
     # every test point is evaluated exactly once (reference evaluates the
     # whole loader, cifar.py:26-42).

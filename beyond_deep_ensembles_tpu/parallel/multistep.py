@@ -104,3 +104,41 @@ def make_epoch_runner(
         return state, {name: jnp.mean(v, axis=0) for name, v in metrics.items()}
 
     return epoch
+
+
+def make_eval_runner(predict_batch, n_data: int, batch_size: int):
+    """Whole-test-set evaluation with DEVICE-RESIDENT data.
+
+    The per-batch Python eval loop pays one dispatch round-trip per test
+    batch — ~30 ms each through the tunneled backend, so CIFAR's 20
+    batches of 500 cost more in latency than in compute. Folding the
+    loop into ONE jitted scan makes the whole posterior-predictive eval
+    a single dispatch.
+
+    predict_batch(state, key, xb) -> per-example outputs with leading
+    axis batch_size (e.g. BMA log-marginals [batch, classes]).
+
+    Returns run(state, key, x) -> outputs [n_data, ...]. The final
+    partial batch is padded by edge replication on device and trimmed
+    after, so every test point is evaluated exactly once — identical
+    semantics to the padded host loop (experiments/cifar.py eval_model;
+    reference evaluates the full loader, cifar.py:26-42).
+    """
+    n_batches = -(-n_data // batch_size)
+    padded = n_batches * batch_size
+
+    @jax.jit
+    def run(state, key, x):
+        pad = padded - n_data
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
+        xb = x.reshape((n_batches, batch_size) + x.shape[1:])
+
+        def body(_, inp):
+            i, xi = inp
+            return None, predict_batch(state, jax.random.fold_in(key, i), xi)
+
+        _, outs = jax.lax.scan(body, None, (jnp.arange(n_batches), xb))
+        return outs.reshape((padded,) + outs.shape[2:])[:n_data]
+
+    return run

@@ -97,6 +97,40 @@ def test_epoch_runner_device_data():
     assert int(state.step) == 30 * 8  # 8 steps per epoch all executed
 
 
+def test_eval_runner_matches_host_loop():
+    """make_eval_runner (single-dispatch whole-test-set scan) must equal
+    the padded host loop bit-for-tolerance: same fold_in(key, batch_idx)
+    streams, edge-replication padding trimmed, every point exactly once.
+    n_data deliberately not a multiple of batch_size."""
+    import jax
+    import jax.numpy as jnp
+
+    from beyond_deep_ensembles_tpu.parallel.multistep import make_eval_runner
+
+    n, bs = 70, 16
+    x = jax.random.normal(jax.random.key(0), (n, 3))
+    state = {"w": jax.random.normal(jax.random.key(1), (3, 5))}
+
+    def predict_batch(state, key, xb):
+        noise = 0.01 * jax.random.normal(key, (xb.shape[0], 5))
+        return jax.nn.log_softmax(xb @ state["w"] + noise)
+
+    key = jax.random.key(42)
+    out_dev = np.asarray(make_eval_runner(predict_batch, n, bs)(state, key, x))
+
+    outs = []
+    for i, start in enumerate(range(0, n, bs)):
+        xb = x[start : start + bs]
+        valid = xb.shape[0]
+        if valid < bs:
+            xb = jnp.concatenate([xb, jnp.repeat(xb[-1:], bs - valid, axis=0)])
+        outs.append(np.asarray(predict_batch(state, jax.random.fold_in(key, i), xb))[:valid])
+    out_host = np.concatenate(outs)
+
+    assert out_dev.shape == (n, 5)
+    np.testing.assert_allclose(out_dev, out_host, rtol=1e-6, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # Numerical equivalence: 1 device vs sharded mesh (the multi-chip
 # correctness contract — same seed + same batches must give the same

@@ -135,3 +135,41 @@ def test_cifar10c_npy_format(data_root):
             dumps["fog"][intensity * n].astype(np.float32) / 256.0 - C.MEAN
         ) / C.STD
         np.testing.assert_allclose(x[0], expect, atol=1e-5)
+
+
+def test_hard_synthetic_is_nonseparable():
+    """BDE_SYNTH_HARD: overlapping class prototypes + 10% label noise.
+    A nearest-prototype oracle (the generator's own class templates)
+    must score ~1.0 on the easy variant but clearly below 0.9 on the
+    hard one — otherwise the convergence artifacts it backs prove
+    nothing (VERDICT r2 weak #3)."""
+    n = 1500
+    xe, ye = C._synthetic_cifar(n, seed=3, hard=False)
+    xh, yh = C._synthetic_cifar(n, seed=3, hard=True)
+    assert xe.shape == xh.shape == (n, 32, 32, 3)
+
+    base = np.random.RandomState(1234).randn(10, 4, 4, 3).astype(np.float32)
+    protos = base.repeat(8, axis=1).repeat(8, axis=2).reshape(10, -1)
+
+    def oracle_acc(x, y):
+        # undo the generator's affine map, then nearest prototype
+        feats = ((x - 0.5) / 0.15).reshape(len(x), -1)
+        d = ((feats[:, None, :] - protos[None]) ** 2).sum(-1)
+        return (d.argmin(1) == y).mean()
+
+    easy, hard = oracle_acc(xe, ye), oracle_acc(xh, yh)
+    assert easy > 0.98, easy
+    assert 0.30 < hard < 0.90, hard
+
+    # determinism: same seed -> identical draw
+    xh2, yh2 = C._synthetic_cifar(n, seed=3, hard=True)
+    np.testing.assert_array_equal(xh, xh2)
+    np.testing.assert_array_equal(yh, yh2)
+
+
+def test_hard_synthetic_env_gate(monkeypatch):
+    monkeypatch.setenv("BDE_SYNTH_HARD", "1")
+    xh, yh = C._synthetic_cifar(64, seed=5)
+    xd, yd = C._synthetic_cifar(64, seed=5, hard=True)
+    np.testing.assert_array_equal(xh, xd)
+    np.testing.assert_array_equal(yh, yd)
