@@ -95,8 +95,13 @@ def load_medmnist(
             x = x[..., None]
     else:
         channels = 3 if subset in ("pathmnist", "dermamnist", "bloodmnist") else 1
+        import zlib
+
+        # crc32, not salted hash(): stable synthetic data across processes
         x, y = _synthetic_mnist(
-            2048 if split == "train" else 512, seed + hash(subset) % 100, channels=channels
+            2048 if split == "train" else 512,
+            seed + zlib.crc32(subset.encode()) % 100,
+            channels=channels,
         )
     x = (x - 0.5) / 0.5
     if subsample is not None:

@@ -24,17 +24,23 @@ _WORD_RE = re.compile(r"[a-z0-9']+|[^\sa-z0-9']")
 
 class HashTokenizer:
     """Deterministic fallback tokenizer (CLS=101, SEP=102, PAD=0 like
-    BERT's conventions; words hashed into the vocab range)."""
+    BERT's conventions; words hashed into the vocab range). Uses crc32,
+    NOT Python's hash(): the latter is salted per process, which would
+    assign different token ids to the same word across CLI invocations —
+    a checkpoint trained in one process would be evaluated on scrambled
+    inputs in the next."""
 
     def __init__(self, vocab_size: int = 30522):
         self.vocab_size = vocab_size
 
     def __call__(self, texts: List[str], max_length: int):
+        import zlib
+
         ids = np.zeros((len(texts), max_length), np.int32)
         mask = np.zeros((len(texts), max_length), np.int32)
         for i, text in enumerate(texts):
             toks = [101] + [
-                1000 + (hash(w) % (self.vocab_size - 2000))
+                1000 + (zlib.crc32(w.encode()) % (self.vocab_size - 2000))
                 for w in _WORD_RE.findall(text.lower())
             ][: max_length - 2] + [102]
             ids[i, : len(toks)] = toks

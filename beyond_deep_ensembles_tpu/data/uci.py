@@ -40,8 +40,14 @@ def data_dir() -> str:
 
 
 def _synthetic_uci(name: str, seed: int = 0):
+    import zlib
+
     in_dim, n = UCI_SHAPES.get(name, (6, 308))
-    rng = np.random.RandomState(seed + hash(name) % 1000)
+    # crc32, not hash(): Python's string hash is salted per process, so
+    # hash(name) made the synthetic data differ between processes —
+    # run-to-run metric jitter and train/eval mismatch across phase
+    # invocations (same bug class as the r2-ADVICE wilds.py finding).
+    rng = np.random.RandomState(seed + zlib.crc32(name.encode()) % 1000)
     x = rng.randn(n, in_dim).astype(np.float32)
     w1 = rng.randn(in_dim, 16) / np.sqrt(in_dim)
     w2 = rng.randn(16, 1)

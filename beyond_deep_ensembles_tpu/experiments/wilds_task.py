@@ -107,6 +107,11 @@ def _make_backbone(task: str, config: dict, kind: str, dropout_p=None, head_kind
                 components=components,
                 dropout_p=dropout_p,
                 track_running_stats=not config.get("static_bn", True),
+                # camelyon's from-scratch DenseNet keeps the reference
+                # frozen-mask eval default; fmow's pretrained-densenet
+                # protocol uses proper rescaled eval dropout
+                # (fmow/models.py:73 freeze_on_eval=False)
+                dropout_freeze_eval=task == "camelyon17",
             )
         )
     if task in ("iwildcam", "rxrx1"):
@@ -123,6 +128,9 @@ def _make_backbone(task: str, config: dict, kind: str, dropout_p=None, head_kind
                 # exact torchvision topology so pretrained checkpoints
                 # transplant (reference iwildcam/models.py:171)
                 torchvision=config.get("torchvision_arch", False),
+                # reference MCD on these tasks: rescaled per-example eval
+                # dropout (iwildcam/models.py:75 freeze_on_eval=False)
+                dropout_freeze_eval=False,
             )
         )
     if task == "poverty":

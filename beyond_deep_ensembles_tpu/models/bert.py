@@ -137,9 +137,12 @@ class BertClassifier(nn.Module):
         )
         h = nn.relu(h)
         # 'drop' uses MC-Dropout (active at eval); others train-only 0.2
-        # (reference bert.py:19,26,33,40).
+        # (reference bert.py:19,26,33,40). The bert tasks patch dropout
+        # with freeze_on_eval=False (civilcomments/models.py:69,
+        # amazon/models.py:71-73) — proper per-example rescaled eval
+        # dropout, unlike the from-scratch nets' frozen-mask default.
         if self.head_kind == "drop":
-            h = FixableDropout(self.drop_p)(h, train=train)
+            h = FixableDropout(self.drop_p, freeze_on_eval=False)(h, train=train)
         elif train:
             h = nn.Dropout(0.2, deterministic=False)(h)
         return call_layer(

@@ -42,12 +42,15 @@ class DenseLayer(nn.Module):
     components: int = 1
     dropout_p: Optional[float] = None
     track_running_stats: bool = False
+    dropout_freeze_eval: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
         def drop(h):
             if self.dropout_p is not None:
-                return FixableDropout(self.dropout_p)(h, train=train)
+                return FixableDropout(
+                    self.dropout_p, freeze_on_eval=self.dropout_freeze_eval
+                )(h, train=train)
             return h
 
         h = _BN(self.track_running_stats)(x, train=train)
@@ -97,6 +100,10 @@ class DenseNet(nn.Module):
     components: int = 1
     dropout_p: Optional[float] = None
     track_running_stats: bool = False
+    # camelyon's from-scratch DenseNet keeps the reference default
+    # (frozen-mask eval); the fmow pretrained-densenet task passes False
+    # (reference fmow/models.py:73 freeze_on_eval=False)
+    dropout_freeze_eval: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
@@ -117,7 +124,9 @@ class DenseNet(nn.Module):
         h = _BN(self.track_running_stats)(h, train=train)
         h = nn.relu(h)
         if self.dropout_p is not None:
-            h = FixableDropout(self.dropout_p)(h, train=train)
+            h = FixableDropout(
+                self.dropout_p, freeze_on_eval=self.dropout_freeze_eval
+            )(h, train=train)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         for i, n_layers in enumerate(self.block_config):
@@ -129,6 +138,7 @@ class DenseNet(nn.Module):
                     self.components,
                     self.dropout_p,
                     self.track_running_stats,
+                    dropout_freeze_eval=self.dropout_freeze_eval,
                 )(h, train=train, component=component)
                 h = jnp.concatenate([h, new], axis=-1)
             if i != len(self.block_config) - 1:
@@ -167,6 +177,7 @@ class DenseNetClassifier(nn.Module):
     components: int = 1
     dropout_p: Optional[float] = None
     track_running_stats: bool = False
+    dropout_freeze_eval: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
@@ -179,6 +190,7 @@ class DenseNetClassifier(nn.Module):
             self.components,
             self.dropout_p,
             self.track_running_stats,
+            dropout_freeze_eval=self.dropout_freeze_eval,
         )(x, train=train, component=component)
         head = make_dense(self.head_kind, self.classes, components=self.components)
         return call_layer(head, h, train, component)

@@ -186,6 +186,7 @@ class Bottleneck(nn.Module):
     conv_kind: str = "plain"
     components: int = 1
     torchvision: bool = False
+    dropout_freeze_eval: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
@@ -195,7 +196,9 @@ class Bottleneck(nn.Module):
 
         def drop(h):
             if self.dropout_p is not None:
-                return FixableDropout(self.dropout_p)(h, train=train)
+                return FixableDropout(
+                    self.dropout_p, freeze_on_eval=self.dropout_freeze_eval
+                )(h, train=train)
             return h
 
         def conv(h, features, kernel, stride, padding, use_bias=True):
@@ -439,6 +442,10 @@ class ResNet50(nn.Module):
     dtype: jnp.dtype = jnp.float32  # compute dtype for conv/dense (bf16 on TPU)
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     torchvision: bool = False  # exact torchvision topology for weight transplant
+    # pretrained-backbone tasks use proper (rescaled, per-example) eval
+    # dropout (reference iwildcam/models.py:75 freeze_on_eval=False);
+    # from-scratch uses of this class keep the reference default True
+    dropout_freeze_eval: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
@@ -456,7 +463,9 @@ class ResNet50(nn.Module):
             h = _Norm(_norm_kind(self.norm, self.conv_kind))(h, train=train)
             h = _activation(self.activation)(h)
         if self.dropout_p is not None:
-            h = FixableDropout(self.dropout_p)(h, train=train)
+            h = FixableDropout(
+                self.dropout_p, freeze_on_eval=self.dropout_freeze_eval
+            )(h, train=train)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         for stage, blocks in enumerate(self.stage_sizes):
@@ -472,6 +481,7 @@ class ResNet50(nn.Module):
                     self.conv_kind,
                     self.components,
                     torchvision=self.torchvision,
+                    dropout_freeze_eval=self.dropout_freeze_eval,
                 )(h, train=train, component=component)
 
         h = jnp.mean(h, axis=(1, 2))

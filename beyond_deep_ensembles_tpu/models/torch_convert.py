@@ -43,6 +43,46 @@ def _natural_key(path) -> tuple:
     return tuple((0, t) if isinstance(t, int) else (1, t) for t in parts)
 
 
+def _match_order(flax_params, flat):
+    """Enumerate flax leaves in MODULE-CREATION order — flax's param dicts
+    preserve insertion order, which equals forward-pass order, which
+    equals a torch ``nn.Sequential``'s state_dict order. This is what
+    makes greedy within-bucket matching exact: alphabetical sorting put
+    e.g. the ResNet20 stem conv (``Conv_0``) after every
+    ``BasicBlock_*``, cross-assigning its (16,) bias with the first
+    block's. Falls back to the numeric-aware sort for containers that
+    don't preserve order."""
+    paths = []
+
+    def walk(node, prefix):
+        if isinstance(node, dict) or hasattr(node, "items"):
+            for k, v in node.items():
+                walk(v, prefix + (str(k),))
+        else:
+            paths.append(prefix)
+
+    try:
+        walk(flax_params, ())
+    except Exception:
+        return sorted(range(len(flat)), key=lambda i: _natural_key(flat[i][0]))
+
+    def path_str(path):
+        return tuple(
+            str(getattr(p, "key", getattr(p, "name", str(p)))) for p in path
+        )
+
+    index = {p: i for i, p in enumerate(paths)}
+    if len(index) != len(flat):
+        return sorted(range(len(flat)), key=lambda i: _natural_key(flat[i][0]))
+    try:
+        return sorted(range(len(flat)), key=lambda i: index[path_str(flat[i][0])])
+    except KeyError:
+        return sorted(range(len(flat)), key=lambda i: _natural_key(flat[i][0]))
+
+
+_FRN_NAMES = ("tau", "beta", "gamma")
+
+
 def _leaf_kind(path, leaf) -> str:
     name = str(getattr(path[-1], "key", getattr(path[-1], "name", str(path[-1]))))
     # Variational std / MLE-only leaves keep their init — pretrained
@@ -51,11 +91,17 @@ def _leaf_kind(path, leaf) -> str:
     # bbb_layers.py:278-300 make_module_bbb).
     if name.endswith(("__grho", "__mle", "_rho")) or name == "rho":
         return "skip"
+    # FRN leaves get their own name buckets: dozens of identically-shaped
+    # (C,) tau/beta/gamma would otherwise cross-assign under greedy shape
+    # matching (the bug class of PARITY delta #11).
+    for frn in _FRN_NAMES:
+        if name == frn or name.startswith(frn + "__"):
+            return frn
     if leaf.ndim >= 3:
         return "conv"
     if leaf.ndim == 2:
         return "dense"
-    if name in ("scale", "gamma", "weight"):
+    if name in ("scale", "weight"):
         return "scale"
     return "bias"
 
@@ -63,6 +109,12 @@ def _leaf_kind(path, leaf) -> str:
 def _torch_kind(key: str, arr: np.ndarray):
     if key.endswith("num_batches_tracked") or "running_" in key:
         return None  # dropped: static BN uses batch statistics
+    base = key.rsplit(".", 1)[-1]
+    # reference FRN stores tau/beta/gamma (or *_mu) as [1,C,1,1]
+    # (src/architectures/frn.py:12-15); squeeze to our (C,) layout
+    for frn in _FRN_NAMES:
+        if base in (frn, frn + "_mu"):
+            return frn
     if arr.ndim == 4:
         return "conv"
     if arr.ndim == 2:
@@ -75,14 +127,16 @@ def _torch_kind(key: str, arr: np.ndarray):
 def convert_torch_state_dict(state_dict: Dict[str, "object"], flax_params):
     """Map a torch state_dict onto ``flax_params``' structure (see module
     docstring). Returns the filled parameter pytree."""
-    buckets: dict = {"conv": [], "dense": [], "scale": [], "bias": []}
+    buckets: dict = {k: [] for k in ("conv", "dense", "scale", "bias", *_FRN_NAMES)}
     total = 0
     for k, v in state_dict.items():
         arr = np.asarray(v.detach().numpy() if hasattr(v, "detach") else v, np.float32)
         kind = _torch_kind(k, arr)
         if kind is None:
             continue
-        if kind == "conv":
+        if kind in _FRN_NAMES:
+            arr = arr.reshape(-1)  # [1,C,1,1] -> (C,)
+        elif kind == "conv":
             arr = np.transpose(arr, (2, 3, 1, 0))
         elif kind == "dense":
             arr = arr.T
@@ -90,7 +144,7 @@ def convert_torch_state_dict(state_dict: Dict[str, "object"], flax_params):
         total += 1
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(flax_params)
-    order = sorted(range(len(flat)), key=lambda i: _natural_key(flat[i][0]))
+    order = _match_order(flax_params, flat)
     out = [None] * len(flat)
     for i in order:
         path, leaf = flat[i]

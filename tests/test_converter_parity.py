@@ -204,3 +204,38 @@ def test_distilbert_logit_parity(tmp_path):
     np.testing.assert_allclose(
         np.asarray(ours)[1, :10], ref[1, :10], atol=2e-4, rtol=1e-3
     )
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir("/root/reference/src"),
+    reason="reference checkout not available",
+)
+def test_reference_resnet20_frn_transplant_parity():
+    """The LIVE reference's from-scratch ResNet20-FRN-swish
+    (src/architectures/resnet.py:122-148, the CIFAR-track architecture)
+    transplants into our flax ResNet20 with logit parity. This is the
+    exact transplant the end-to-end CIFAR parity test relies on to give
+    both frameworks identical initial weights; the FRN name buckets
+    (tau/beta/gamma, [1,C,1,1] -> (C,)) and the module-creation-order
+    traversal in torch_convert are what make it exact."""
+    import sys
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from src.architectures.resnet import ResNet20 as RefResNet20  # noqa: E402
+
+    from beyond_deep_ensembles_tpu.models.resnet import ResNet20
+
+    torch.manual_seed(3)
+    ref = RefResNet20(32, 3, 10, "swish", "frn").eval()
+
+    fmodel = ResNet20(classes=10, activation="swish", norm="frn")
+    x = np.random.RandomState(1).randn(4, 32, 32, 3).astype(np.float32)
+    params = fmodel.init(jax.random.key(0), jnp.asarray(x), train=False)
+    params = convert_torch_state_dict(ref.state_dict(), params)
+
+    with jax.default_matmul_precision("highest"):
+        ours = np.asarray(fmodel.apply(params, jnp.asarray(x), train=False))
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-4)

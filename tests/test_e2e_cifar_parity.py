@@ -1,0 +1,445 @@
+"""END-TO-END differential parity on the CIFAR classification track:
+train the LIVE reference CIFAR experiment loop (reference
+experiments/cifar/cifar.py:131-186 train_model + cifar.py:44-69
+eval_model with the real experiments/cifar/models.py builders and the
+real ResNet-20-FRN-swish) and our experiments/cifar.py run_single on
+IDENTICAL staged data with matched hyperparameters; assert final
+accuracy / posterior log-likelihood / ECE agreement.
+
+Complements tests/test_e2e_reference_parity.py (the UCI regression
+track) with the classification track: conv/FRN architecture, Wilson LR
+schedule stepped per epoch, log-space Bayesian model averaging, ECE.
+
+Protocol notes:
+- Data is the HARD synthetic CIFAR stand-in (overlapping class
+  prototypes + 10% label noise, quantized to uint8) so accuracy is
+  bounded away from both 1.0 and chance and NLL/ECE are informative.
+  Ours consumes it through the real on-disk path (pickle batches in
+  $BDE_DATA_DIR); the reference consumes the same arrays through a
+  stubbed `experiments.base.cifar` loader module (torchvision is not
+  installed here and torchvision.datasets.CIFAR10 md5-checks its
+  files). The stub carries NO algorithmic behavior — normalization
+  uses the reference's own Wilson constants (base/cifar.py:11-13).
+- Augmentation is disabled on BOTH sides (matched protocol; the
+  random-crop RNGs could never be aligned across frameworks).
+- BOTH FRAMEWORKS START FROM THE SAME INITIAL WEIGHTS: the reference
+  model's t=0 state_dict is transplanted into our flax params via
+  convert_torch_state_dict (bit-exact — tests/test_converter_parity.py
+  asserts logit parity for this exact architecture). Without this,
+  single-seed runs at this dataset size differ by init luck far more
+  than by framework (measured r3: ±5pp accuracy, ±0.2 ECE across init
+  seeds in the memorization regime) and the comparison is vacuous. The
+  only remaining nuisance is minibatch ORDER (framework-independent
+  SGD noise), so tolerances can be tight.
+- Algorithms: map / mcd / swag. BBB-family is excluded ONLY for cost:
+  the reference's variational ResNet-20 step is >40 s on this
+  single-core host (measured), vs ~4 s for map — BBB experiment-level
+  parity is covered on the UCI track and at the step level by
+  tests/test_reference_parity.py.
+"""
+from __future__ import annotations
+
+import math
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REFERENCE, "src")),
+        reason="reference checkout not available",
+    ),
+]
+
+torch = pytest.importorskip("torch")
+if REFERENCE not in sys.path:
+    sys.path.insert(0, REFERENCE)
+
+
+# 24 epochs: enough for the wilson schedule to anneal (decay over epochs
+# 12..21.6, then 0.01x) so both frameworks settle into their SGD basin.
+# Shorter runs sit in the chaotic under-fit transition where accuracy
+# swings by >0.2 between batch orders and the comparison is meaningless
+# (measured r3: at 6 epochs same-init runs differ by 0.24 accuracy while
+# train losses track within 0.11).
+N_TRAIN, N_TEST = 512, 512
+BATCH = 128
+EPOCHS = 24
+# lr 0.05 (the reference's full-CIFAR value) is unstable late in the
+# flat phase at THIS dataset size — loss spikes around epoch 12 on both
+# frameworks (and within the reference across seeds), bifurcating
+# otherwise-matched runs; 0.03 trains smoothly so the same-init
+# comparison measures the frameworks, not the spike lottery. Matched on
+# both sides, as all hyperparameters here are.
+LR = 0.03
+WD = 3e-4
+SWAG_START = 12  # epoch index; SWA runs over the last half
+SWAG_DEVIATIONS = 10
+EVAL_SAMPLES = {"map": 1, "mcd": 8, "swag": 8}
+
+
+def _make_raw_data():
+    """Shared uint8 dataset: hard synthetic (non-separable), quantized so
+    both frameworks' [0,255] -> normalized pipelines see identical bytes."""
+    from beyond_deep_ensembles_tpu.data import cifar as C
+
+    xtr, ytr = C._synthetic_cifar(N_TRAIN, seed=11, hard=True)
+    xte, yte = C._synthetic_cifar(N_TEST, seed=12, hard=True)
+    to_u8 = lambda x: np.round(x * 255.0).astype(np.uint8)
+    return to_u8(xtr), ytr, to_u8(xte), yte
+
+
+# ---------------------------------------------------------------------------
+# Reference-side import shims (algorithm-free)
+# ---------------------------------------------------------------------------
+
+
+def _install_cifar_stubs(arrays):
+    xtr_u8, ytr, xte_u8, yte = arrays
+
+    # wandb / cw2 / laplace / netcal: unavailable deps, inert stubs
+    wandb = types.ModuleType("wandb")
+    wandb.init = lambda **kw: None
+    wandb.log = lambda *a, **kw: None
+    wandb.finish = lambda: None
+    sys.modules["wandb"] = wandb
+
+    cw2 = types.ModuleType("cw2")
+    cw_data = types.ModuleType("cw2.cw_data")
+    cw_logging = types.ModuleType("cw2.cw_data.cw_logging")
+    cw_logging.LoggerArray = type("LoggerArray", (), {})
+    cw_logging.getLogger = lambda: None
+    cw_logging.AbstractLogger = type("AbstractLogger", (), {})
+    experiment = types.ModuleType("cw2.experiment")
+    experiment.AbstractExperiment = type("AbstractExperiment", (), {})
+    cw_error = types.ModuleType("cw2.cw_error")
+    cw_error.ExperimentSurrender = type("ExperimentSurrender", (Exception,), {})
+    cluster_work = types.ModuleType("cw2.cluster_work")
+    cluster_work.ClusterWork = type("ClusterWork", (), {})
+    cw2.cw_data = cw_data
+    cw_data.cw_logging = cw_logging
+    cw2.experiment = experiment
+    cw2.cw_error = cw_error
+    cw2.cluster_work = cluster_work
+    sys.modules.update(
+        {
+            "cw2": cw2,
+            "cw2.cw_data": cw_data,
+            "cw2.cw_data.cw_logging": cw_logging,
+            "cw2.experiment": experiment,
+            "cw2.cw_error": cw_error,
+            "cw2.cluster_work": cluster_work,
+        }
+    )
+
+    laplace = types.ModuleType("laplace")
+    laplace.Laplace = type("Laplace", (), {})
+    curvature = types.ModuleType("laplace.curvature")
+    curvature.BackPackGGN = type("BackPackGGN", (), {})
+    laplace.curvature = curvature
+    sys.modules["laplace"] = laplace
+    sys.modules["laplace.curvature"] = curvature
+
+    netcal = types.ModuleType("netcal")
+    netcal_metrics = types.ModuleType("netcal.metrics")
+    netcal_metrics.ECE = type("ECE", (), {})
+    netcal.metrics = netcal_metrics
+    sys.modules["netcal"] = netcal
+    sys.modules["netcal.metrics"] = netcal_metrics
+
+    # reference stale-import wart (laplace_approx.py imports MAP which
+    # src/algos/pp.py does not define)
+    import src.algos.pp as ref_pp
+
+    if not hasattr(ref_pp, "MAP"):
+        ref_pp.MAP = ref_pp.MAPOptimizer
+
+    # src.wilson imports the vendored bnn-hmc stack and loads published
+    # checkpoints; the experiment under test only needs the symbol to
+    # import (we pass eval_model our own uniform-predictive dummy).
+    wilson = types.ModuleType("src.wilson")
+    wilson.WilsonHMC = type("WilsonHMC", (), {})
+    sys.modules["src.wilson"] = wilson
+    import src as src_pkg
+
+    src_pkg.wilson = wilson
+
+    # experiments.base.cifar needs torchvision (absent) and its CIFAR10
+    # class md5-checks real files; serve the staged arrays through the
+    # reference's exact tensor pipeline instead (base/cifar.py:11-13
+    # Wilson normalization; augmentation intentionally off — matched
+    # no-augmentation protocol on both sides).
+    MEAN = torch.tensor([0.49, 0.48, 0.44])
+    STD = torch.tensor([0.2, 0.2, 0.2])
+
+    def _to_tensors(x_u8, y):
+        x = torch.from_numpy(np.ascontiguousarray(x_u8)).float() / 255.0
+        x = x.permute(0, 3, 1, 2)
+        x = (x - MEAN[None, :, None, None]) / STD[None, :, None, None]
+        return x, torch.from_numpy(np.ascontiguousarray(y)).long()
+
+    base_cifar = types.ModuleType("experiments.base.cifar")
+
+    def cifar10_trainloader(path, batch_size=4, shuffle=True, exclude_classes=(), subsample=None):
+        del path, exclude_classes, subsample
+        x, y = _to_tensors(xtr_u8, ytr)
+        return torch.utils.data.DataLoader(
+            torch.utils.data.TensorDataset(x, y),
+            batch_size=batch_size,
+            shuffle=shuffle,
+            num_workers=0,
+        )
+
+    def cifar10_testloader(path, batch_size=4, shuffle=True, exclude_classes=()):
+        del path, exclude_classes
+        x, y = _to_tensors(xte_u8, yte)
+        return torch.utils.data.DataLoader(
+            torch.utils.data.TensorDataset(x, y),
+            batch_size=batch_size,
+            shuffle=shuffle,
+            num_workers=0,
+        )
+
+    base_cifar.cifar10_trainloader = cifar10_trainloader
+    base_cifar.cifar10_testloader = cifar10_testloader
+    base_cifar.cifar10_corrupted_testloader = cifar10_testloader
+    sys.modules["experiments.base.cifar"] = base_cifar
+    import experiments.base as base_pkg
+
+    base_pkg.cifar = base_cifar
+
+
+class _UniformHMC:
+    """eval_model's hmc baseline: uniform predictive (algorithm-free —
+    agreement/TV vs it are not part of the parity assertion)."""
+
+    def infer(self, input, samples):
+        n = input.shape[0]
+        return torch.full((samples, n, 10), -math.log(10.0))
+
+
+# ---------------------------------------------------------------------------
+# Matched configurations
+# ---------------------------------------------------------------------------
+
+
+def _ref_config(model: str) -> dict:
+    return {
+        "model": model,
+        "members": 1,
+        "epochs": EPOCHS,
+        "batch_size": BATCH,
+        "eval_batch_size": 256,
+        "eval_samples": EVAL_SAMPLES[model],
+        "ece_bins": 10,
+        "use_amp": False,
+        "use_compile": False,
+        "lr_schedule": True,
+        "lr": LR,
+        "data_path": "",
+        "base_optimizer": {
+            "lr": LR,
+            "weight_decay": WD,
+            "momentum": 0.9,
+            "nesterov": True,
+        },
+        "p": 0.1,
+        "prior_std": 1.0,
+        # update_interval=1 matches ours: steps_per_epoch * swag_epochs
+        # // mean_samples = 4*3//50 -> 1 (cifar.yaml mean_samples=50
+        # convention, experiments/cifar.py:211-212)
+        "swag": {
+            "start_epoch": SWAG_START,
+            "update_interval": 1,
+            "deviation_samples": SWAG_DEVIATIONS,
+        },
+    }
+
+
+def _our_config(model: str) -> dict:
+    return {
+        "model": model,
+        "members": 1,
+        "epochs": EPOCHS,
+        "batch_size": BATCH,
+        "eval_batch_size": 256,
+        "eval_samples": EVAL_SAMPLES[model],
+        "ece_bins": 10,
+        "lr": LR,
+        "weight_decay": WD,
+        "momentum": 0.9,
+        "nesterov": True,
+        "lr_schedule": True,
+        "augment": False,
+        "p": 0.1,
+        "prior_std": 1.0,
+        "swag_start_epoch": SWAG_START,
+        "swag_deviation_samples": SWAG_DEVIATIONS,
+        "swag_lr": None,  # ref train loop passes swag_lr=None (ratio 0.01)
+        "subsample": None,
+        "test_subsample": None,
+        "seed": 0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Runners
+# ---------------------------------------------------------------------------
+
+
+class _RecordLog:
+    """Captures the reference train loop's per-epoch losses from its own
+    log lines ('Epoch N: train loss X', cifar.py:177)."""
+
+    _RE = __import__("re").compile(r"Epoch (\d+): train loss ([\d.eE+-]+)")
+
+    def __init__(self):
+        self.losses = []
+
+    def info(self, msg):
+        m = self._RE.search(str(msg))
+        if m:
+            self.losses.append(float(m.group(2)))
+
+
+def _run_reference(model: str, arrays, tmpdir: str, seed: int = 1):
+    """Train + eval the live reference; returns (metrics, t=0 state_dict,
+    per-epoch train losses) so ours can start from the identical
+    initialization and the training dynamics can be compared."""
+    import copy
+
+    _install_cifar_stubs(arrays)
+    import experiments.cifar.models as ref_models  # noqa: E402
+    import experiments.cifar.cifar as ref_cifar  # noqa: E402
+
+    torch.manual_seed(seed)
+    device = torch.device("cpu")
+    config = _ref_config(model)
+    ensemble = ref_models.get_model(model, config, device)
+    init_sd = copy.deepcopy(ensemble.models_and_optimizers[0][0].state_dict())
+    log = _RecordLog()
+    ref_cifar.train_model(ensemble, device, config, log, tmpdir.rstrip("/") + "/")
+    res = ref_cifar.eval_model(ensemble, config, device, _UniformHMC(), split="test")
+    return {
+        "accuracy": float(res["accuracy"]),
+        "avg_ll": float(res["log_likelihood"]),
+        "ece": float(res["ece"]),
+    }, init_sd, log.losses
+
+
+def _run_ours(model: str, data_root: str, init_sd=None, seed: int = 0):
+    os.environ["BDE_DATA_DIR"] = data_root
+    import re
+
+    import jax
+
+    from beyond_deep_ensembles_tpu.data import cifar as cdata
+    from beyond_deep_ensembles_tpu.experiments import cifar as our_cifar
+    from beyond_deep_ensembles_tpu.models.torch_convert import convert_torch_state_dict
+
+    config = {**our_cifar.DEFAULT_CONFIG, **_our_config(model), "seed": seed}
+    x_train, y_train = cdata.load_cifar10(True, subsample=None)
+    x_test, y_test = cdata.load_cifar10(False, subsample=None)
+    config["dataset_size"] = x_train.shape[0]
+    spe = max(1, x_train.shape[0] // config["batch_size"])
+    built = our_cifar.build(config, jax.random.key(seed), spe)
+    if init_sd is not None:
+        built.state = built.state.replace(
+            params=convert_torch_state_dict(init_sd, built.state.params)
+        )
+    losses = []
+    loss_re = re.compile(r"loss ([\d.eE+-]+)")
+
+    def log(msg):
+        m = loss_re.search(msg)
+        if m:
+            losses.append(float(m.group(1)))
+
+    built = our_cifar.train(built, config, x_train, y_train, log=log)
+    res = our_cifar.eval_model(built, config, x_test, y_test)
+    return {
+        "accuracy": float(res.accuracy),
+        "avg_ll": float(res.avg_log_likelihood),
+        "ece": float(res.ece),
+    }, losses
+
+
+@pytest.fixture(scope="module")
+def staged(tmp_path_factory):
+    """One shared dataset: pickle batches on disk for ours (the real raw
+    path), in-memory arrays for the reference stub loader."""
+    import pickle
+
+    arrays = _make_raw_data()
+    xtr_u8, ytr, xte_u8, yte = arrays
+    root = tmp_path_factory.mktemp("e2e_cifar")
+    d = root / "cifar-10-batches-py"
+    os.makedirs(d)
+    splits = np.array_split(np.arange(N_TRAIN), 5)
+    for i, idx in enumerate(splits, start=1):
+        rows = xtr_u8[idx].transpose(0, 3, 1, 2).reshape(len(idx), -1)
+        with open(d / f"data_batch_{i}", "wb") as f:
+            pickle.dump(
+                {b"data": rows, b"labels": ytr[idx].tolist(), b"filenames": []}, f
+            )
+    rows = xte_u8.transpose(0, 3, 1, 2).reshape(N_TEST, -1)
+    with open(d / "test_batch", "wb") as f:
+        pickle.dump({b"data": rows, b"labels": yte.tolist(), b"filenames": []}, f)
+    return str(root), arrays
+
+
+# Tolerances: SAME initial weights on both sides, so the only nuisance
+# is minibatch order. They are calibrated against the REFERENCE'S OWN
+# across-seed spread at this exact protocol, measured here in r3 (map,
+# 24 epochs, torch seeds 1/2/3): accuracy 0.791-0.828 (range 0.037),
+# avg_ll -0.887..-0.986 (range 0.10), ece 0.068-0.231 (range 0.163) —
+# note the reference's own ECE moves by 0.16 between seeds at lr 0.05
+# in this memorization regime, which is why LR is 0.03 here (see the
+# constant above). Measured same-init cross-framework gaps at these
+# exact settings (r3, CPU backend as in CI): map acc 0.012 / ll 0.026 /
+# ece 0.024; mcd 0.014 / 0.050 / 0.034 (dropout-mask RNG in train AND
+# eval on both sides); swag 0.006 / 0.056 / 0.058 (posterior-draw RNG
+# at eval). Tolerances ~2.5-3x observed. This test caught a real
+# fidelity bug in r3: our from-scratch nets defaulted to rescaled
+# per-example eval dropout where the reference freezes one unrescaled
+# mask per batch (dropout.py:11,17-20) — an ~0.1 accuracy / 0.27 NLL
+# systematic gap before the fix (nn/dropout.py freeze_on_eval default).
+_TOL = {
+    "map": {"accuracy": 0.05, "avg_ll": 0.10, "ece": 0.10},
+    "mcd": {"accuracy": 0.06, "avg_ll": 0.15, "ece": 0.12},
+    "swag": {"accuracy": 0.05, "avg_ll": 0.15, "ece": 0.15},
+}
+
+
+@pytest.mark.parametrize("model", ["map", "mcd", "swag"])
+def test_e2e_cifar_parity(model, staged, tmp_path):
+    data_root, arrays = staged
+    ref, init_sd, ref_losses = _run_reference(model, arrays, str(tmp_path))
+    ours, our_losses = _run_ours(model, data_root, init_sd)
+    print(f"[{model}] reference={ref} ours={ours}")
+    print(f"[{model}] ref_losses={ref_losses}")
+    print(f"[{model}] our_losses={our_losses}")
+    assert np.isfinite(list(ours.values())).all()
+    # Training dynamics from the SAME initial weights: per-epoch train
+    # losses must track. Early epochs are deterministic up to batch
+    # order (measured gap <=0.12); late epochs both sit at their
+    # annealed memorization floor.
+    assert len(ref_losses) == len(our_losses) == EPOCHS
+    for e in range(3):
+        assert abs(ref_losses[e] - our_losses[e]) < 0.35, (
+            f"{model}: epoch {e} train loss ref={ref_losses[e]:.3f} "
+            f"ours={our_losses[e]:.3f}"
+        )
+    assert abs(ref_losses[-1] - our_losses[-1]) < 0.35
+    # both must beat chance by a clear margin or the comparison is vacuous
+    assert ref["accuracy"] > 0.5 and ours["accuracy"] > 0.5
+    for key in ("accuracy", "avg_ll", "ece"):
+        assert abs(ours[key] - ref[key]) < _TOL[model][key], (
+            f"{model}: {key} ours={ours[key]:.4f} ref={ref[key]:.4f}"
+        )
