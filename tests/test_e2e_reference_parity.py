@@ -198,10 +198,30 @@ def _ref_config(model: str) -> dict:
                 "damping": 0.0,
                 "mc_samples": 2,
             },
+            # components=1 on BOTH sides: the reference UCI builder
+            # constructs Rank1Linear with its default components=1
+            # (models.py:110-117 never forwards the yaml's components=5
+            # to the layers), so >1 would divide the data loss by a
+            # component count the model doesn't have.
+            "rank1": {
+                "mc_samples": 2,
+                "kl_rescaling": 1.0,
+                "dataset_size": _TRAIN_N,
+                "components": 1,
+                "l2_scale": 1e-4,
+            },
+            "svgd": {
+                "particle_count": 5,
+                "l2_reg": 0.01,
+                "dataset_size": _TRAIN_N,
+                "kernel_grad_scale": 1.0,
+            },
         },
     }
-    if model in ("bbb", "ivon"):
-        # matching the reference protocol: no weight decay for VI methods
+    if model in ("bbb", "ivon", "rank1", "svgd"):
+        # matching the reference protocol (uci.yaml): no Adam weight
+        # decay for VI/particle methods — rank1 regularizes via
+        # l2_scale, svgd via its explicit l2_reg prior term
         cfg["optimizer"]["base"]["weight_decay"] = 0.0
     return cfg
 
@@ -221,7 +241,7 @@ def _our_config(model: str) -> dict:
         "dropout_p": 0.1,
         "prior_std": 1.0,
         "lr": LR,
-        "weight_decay": 0.0 if model in ("bbb", "ivon") else 1e-4,
+        "weight_decay": 0.0 if model in ("bbb", "ivon", "rank1", "svgd") else 1e-4,
         "var_lr": VAR_LR,
         "mc_samples": 2,
         "kl_rescaling": 1.0,
@@ -229,6 +249,10 @@ def _our_config(model: str) -> dict:
         "ivon_lr": LR,
         "ivon_prior_prec": 50.0,
         "ivon_mc_samples": 2,
+        "components": 1,
+        "l2_scale": 1e-4,
+        "svgd_particles": 5,
+        "svgd_l2": 0.01,
         "seed": 0,
     }
     cfg["swag_start"] = SWAG_START / EPOCHS
@@ -289,17 +313,22 @@ def staged(tmp_path_factory):
 # judged against across-seed spread (test_reference_seed_spread records
 # the reference's: ~0.04 in avg_ll for MAP at these epochs). Measured
 # r3 agreement at 120 epochs: bbb/ivon within 4e-4 (!), map/mcd within
-# 0.03-0.10; tolerances are ~2-4x the observed gaps.
+# 0.03-0.10, rank1 within 0.07, svgd (5 particles, both sides' own
+# inits) within 0.17; tolerances are ~1.5-4x the observed gaps.
 _TOL = {
     "map": {"avg_ll": 0.20, "mse": 0.05},
     "mcd": {"avg_ll": 0.25, "mse": 0.12},
     "swag": {"avg_ll": 0.25, "mse": 0.06},
     "bbb": {"avg_ll": 0.15, "mse": 0.08},
     "ivon": {"avg_ll": 0.15, "mse": 0.08},
+    "rank1": {"avg_ll": 0.20, "mse": 0.08},
+    "svgd": {"avg_ll": 0.25, "mse": 0.08},
 }
 
 
-@pytest.mark.parametrize("model", ["map", "mcd", "swag", "bbb", "ivon"])
+@pytest.mark.parametrize(
+    "model", ["map", "mcd", "swag", "bbb", "ivon", "rank1", "svgd"]
+)
 def test_e2e_experiment_parity(model, staged):
     data_root, split = staged
     ref = _run_reference(model, split)
