@@ -442,11 +442,18 @@ def eval_model(
     key = jax.random.key(seed)
     n = x.shape[0]
 
-    if config.get("device_eval", config.get("device_data")):
+    device_eval = config.get(
+        "device_eval",
+        bool(config.get("device_data")) or jax.default_backend() != "cpu",
+    )
+    if device_eval:
         # TPU-first fast path mirroring the training-side epoch runner:
         # the whole test set lives in HBM and the posterior-predictive
         # eval is ONE jitted scan — one dispatch instead of one per
-        # batch (~30 ms tunnel latency each).
+        # batch (~30 ms tunnel latency each). Default on accelerator
+        # backends; numerically identical to the host loop below
+        # (same fold_in(key, batch) streams — equality tested in
+        # tests/test_data_parallel_train.py::test_eval_runner_matches_host_loop).
         from ..parallel.multistep import make_eval_runner
 
         def predict_one(state, k, xb):
