@@ -202,9 +202,20 @@ def main():
         "prng_impl": "rbg" if fast_rng else "threefry2x32",
         "tunnel_latency_ms": round(lat * 1e3, 1),
         "sync": "host scalar fetch (block_until_ready is a no-op on this backend)",
+        "note": "bbb/rank1 use mc_samples=2 (2 fwd/bwd per step; the bench.py "
+        "headline is mc=1); map's mc-eval uses the identity-sample fast path "
+        "(one forward reused across draws)",
     }
+    # merge: keep full_scale_* and any other top-level sections intact
+    existing = {}
+    try:
+        with open(out_path) as f:
+            existing = json.load(f)
+    except Exception:
+        pass
+    existing.update({"meta": meta, "results": results})
     with open(out_path, "w") as f:
-        json.dump({"meta": meta, "results": results}, f, indent=2)
+        json.dump(existing, f, indent=2)
     print(f"wrote {out_path}")
 
 

@@ -69,6 +69,7 @@ def run_hmc(
     step_size_adaptation_speed: float = 0.05,
     seed: int = 0,
     run_dir: Optional[str] = None,
+    init_params=None,
     log=None,
     mesh=None,
 ):
@@ -82,6 +83,10 @@ def run_hmc(
     example = jnp.asarray(x[:2])
 
     params, model_state = model.init(jax.random.key(seed), example)
+    if init_params is not None:
+        # warm start / transplant (reference --init_checkpoint,
+        # script_utils.get_initialization_dict)
+        params = init_params
     loss_fn = xent_loss_fn(model)
     method = hmc_method(
         loss_fn,
@@ -151,6 +156,7 @@ def run_sgmcmc(
     preconditioner: Optional[str] = None,
     sample_interval: int = 100,
     seed: int = 0,
+    init_params=None,
     log=None,
 ):
     """SGLD/SGHMC training loop (reference run_sgmcmc.py)."""
@@ -158,6 +164,10 @@ def run_sgmcmc(
     x, y = train_arrays
     example = jnp.asarray(x[:2])
     params, model_state = model.init(jax.random.key(seed), example)
+    if init_params is not None:
+        # warm start / transplant (reference --init_checkpoint,
+        # script_utils.get_initialization_dict)
+        params = init_params
     method = sgmcmc_method(
         xent_loss_fn(model),
         dataset_size=x.shape[0],
@@ -198,6 +208,7 @@ def run_sgd(
     schedule: str = "cosine",
     seed: int = 0,
     run_dir: Optional[str] = None,
+    init_params=None,
     log=None,
 ):
     """MAP/SGD training (reference run_sgd.py): the baseline that seeds
@@ -212,6 +223,10 @@ def run_sgd(
     x, y = train_arrays
     example = jnp.asarray(x[:2])
     params, model_state = model.init(jax.random.key(seed), example)
+    if init_params is not None:
+        # warm start / transplant (reference --init_checkpoint,
+        # script_utils.get_initialization_dict)
+        params = init_params
     n_data = x.shape[0]
     base_loss = xent_loss_fn(model)
 
@@ -267,6 +282,7 @@ def run_vi(
     mc_samples: int = 1,
     temperature: float = 1.0,
     seed: int = 0,
+    init_params=None,
     log=None,
 ):
     """MFVI ELBO training (reference run_vi.py:105-121)."""
@@ -276,6 +292,10 @@ def run_vi(
     x, y = train_arrays
     example = jnp.asarray(x[:2])
     params, model_state = model.init(jax.random.key(seed), example)
+    if init_params is not None:
+        # warm start / transplant (reference --init_checkpoint,
+        # script_utils.get_initialization_dict)
+        params = init_params
     method = mfvi_method(
         xent_loss_fn(model),
         optax.adam(lr),
