@@ -239,3 +239,58 @@ def test_reference_resnet20_frn_transplant_parity():
     with torch.no_grad():
         theirs = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir("/root/reference/src"),
+    reason="reference checkout not available",
+)
+def test_reference_densenet_transplant_parity():
+    """The LIVE reference's from-scratch config-driven DenseNet + head
+    (src/architectures/densenet.py:166-210, the Camelyon17/FMoW
+    architecture, experiments/camelyon/models.py:41) transplants into our
+    flax DenseNetClassifier with logit parity at a shrunken block config.
+    torch side runs in train() mode (batch-stats BN == our
+    StaticBatchNorm — the static-BN setting BASELINE.md flags as
+    accuracy-critical); both sides are deterministic (no dropout)."""
+    import sys
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from src.architectures.densenet import (  # noqa: E402
+        ClassificationHead as RefHead,
+        DenseNet as RefDenseNet,
+    )
+
+    from beyond_deep_ensembles_tpu.models.densenet import DenseNetClassifier
+
+    torch.manual_seed(5)
+    net_config = {
+        "linear": {"type": "plain"},
+        "conv": {"type": "plain"},
+        "track_running_stats": False,
+    }
+    growth, blocks, init_feats, bn_size, classes = 4, (2, 3), 8, 2, 3
+    ref_net = RefDenseNet(growth, blocks, 3, init_feats, bn_size, net_config)
+    ref = tnn.Sequential(
+        ref_net, RefHead(ref_net.out_features, classes, net_config)
+    ).train()  # batch-stats BN
+
+    fmodel = DenseNetClassifier(
+        classes=classes,
+        growth_rate=growth,
+        block_config=blocks,
+        init_features=init_feats,
+        bn_size=bn_size,
+    )
+    x = np.random.RandomState(2).randn(4, 32, 32, 3).astype(np.float32)
+    params = fmodel.init(
+        jax.random.key(0), jnp.asarray(x), train=False
+    )
+    params = convert_torch_state_dict(ref.state_dict(), params)
+
+    with jax.default_matmul_precision("highest"):
+        ours = np.asarray(fmodel.apply(params, jnp.asarray(x), train=False))
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=3e-5, rtol=1e-4)
