@@ -23,6 +23,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# honor JAX_PLATFORMS even though the image's sitecustomize registers the
+# axon plugin outside its control (a hung tunnel otherwise blocks even
+# CPU-forced runs at jax.devices(); see tests/conftest.py)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import jax.numpy as jnp
 import optax
 

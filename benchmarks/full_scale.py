@@ -1,7 +1,14 @@
-"""Full-scale CIFAR BBB training epoch measurement (the r2 artifact's
-workload, now a reusable script): ResNet-20-FRN-swish BBB, 50k images x
-bs128, mc_samples=2, device-side augmentation, whole-epoch
-device-resident scan (parallel/multistep.py make_epoch_runner).
+"""Full-scale CIFAR training epoch measurement (the r2 artifact's
+workload, now a reusable script): ResNet-20-FRN-swish, 50k images x
+bs128, device-side augmentation, whole-epoch device-resident scan
+(parallel/multistep.py make_epoch_runner).
+
+--algo bbb  (default): variational convs, mc_samples per step.
+--algo svgd: n particles trained SIMULTANEOUSLY in one vmapped program
+  (kernel/phi over all particles per step) — the reference trains SVGD
+  particles in a sequential Python loop (src/algos/svgd.py:67), so
+  particle count multiplies its wall-clock but largely rides the same
+  dispatch here.
 
 Timing: one host scalar fetch per epoch (block_until_ready is a no-op on
 the tunneled backend); the first epoch is discarded (compile).
@@ -20,6 +27,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# honor JAX_PLATFORMS even though the image's sitecustomize registers the
+# axon plugin outside its control (a hung tunnel otherwise blocks even
+# CPU-forced runs at jax.devices(); see tests/conftest.py)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -27,6 +40,8 @@ import optax
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--algo", choices=("bbb", "svgd"), default="bbb")
+    ap.add_argument("--particles", type=int, default=5, help="svgd particles (reference cifar.yaml:227 uses 5)")
     ap.add_argument("--dtype", choices=("fp32", "bf16"), default="fp32")
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--mc", type=int, default=2)
@@ -52,15 +67,19 @@ def main():
     enable_fast_tpu_rng()
 
     from beyond_deep_ensembles_tpu.data import cifar as cifar_data
-    from beyond_deep_ensembles_tpu.methods import GaussianPrior, bbb_method
+    from beyond_deep_ensembles_tpu.methods import GaussianPrior, bbb_method, svgd_method
     from beyond_deep_ensembles_tpu.methods.api import LossOutput
     from beyond_deep_ensembles_tpu.models.resnet import ResNet20
     from beyond_deep_ensembles_tpu.nn.base import Model
     from beyond_deep_ensembles_tpu.parallel.multistep import make_epoch_runner
+    from beyond_deep_ensembles_tpu.tree import tree_stack
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    conv_kind = "bbb" if args.algo == "bbb" else "plain"
     model = Model(
-        ResNet20(classes=10, activation="swish", norm="frn", conv_kind="bbb", dtype=dtype)
+        ResNet20(
+            classes=10, activation="swish", norm="frn", conv_kind=conv_kind, dtype=dtype
+        )
     )
 
     def loss_fn(params, model_state, key, batch):
@@ -70,14 +89,25 @@ def main():
         loss = -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
         return LossOutput(loss=loss, kl=kl, model_state=new_state)
 
-    method = bbb_method(
-        loss_fn,
-        optax.adam(3e-4),
-        GaussianPrior(0.0, 1.0),
-        dataset_size=args.n,
-        mc_samples=args.mc,
-        kl_rescaling=0.2,
-    )
+    if args.algo == "bbb":
+        method = bbb_method(
+            loss_fn,
+            optax.adam(3e-4),
+            GaussianPrior(0.0, 1.0),
+            dataset_size=args.n,
+            mc_samples=args.mc,
+            kl_rescaling=0.2,
+        )
+    else:
+        # reference cifar.yaml:215-227 svgd block: SGD momentum 0.9
+        # nesterov, reg_scale 3e-4, 5 particles
+        method = svgd_method(
+            loss_fn,
+            optax.sgd(0.05, momentum=0.9, nesterov=True),
+            particle_count=args.particles,
+            dataset_size=args.n,
+            l2_reg=3e-4,
+        )
 
     def stage(msg):
         print(f"[fs {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
@@ -93,7 +123,14 @@ def main():
     # init on host CPU: eager ops through the tunnel cost minutes each
     dev = jax.devices()[0]
     with jax.default_device(jax.devices("cpu")[0]):
-        params, ms = model.init(jax.random.key(0), jnp.zeros((2, 32, 32, 3)))
+        if args.algo == "svgd":
+            keys = jax.random.split(jax.random.key(0), args.particles)
+            params = tree_stack(
+                [model.init(k, jnp.zeros((2, 32, 32, 3)))[0] for k in keys]
+            )
+            ms = model.init(keys[0], jnp.zeros((2, 32, 32, 3)))[1]
+        else:
+            params, ms = model.init(jax.random.key(0), jnp.zeros((2, 32, 32, 3)))
         state = method.init(jax.random.key(1), params, ms)
     state = jax.device_put(state, dev)
 
@@ -175,10 +212,15 @@ def main():
 
     epoch_s = min(times) if times else float("nan")
     steps = x.shape[0] // args.batch
+    desc = (
+        f"mc_samples={args.mc}"
+        if args.algo == "bbb"
+        else f"{args.particles} particles, ALL vmapped per step"
+    )
     entry = {
         "workload": (
-            f"CIFAR-scale BBB ResNet-20-FRN-swish, {args.n} images x bs{args.batch}, "
-            f"mc_samples={args.mc}, {args.dtype}, device-side augmentation, "
+            f"CIFAR-scale {args.algo.upper()} ResNet-20-FRN-swish, {args.n} images "
+            f"x bs{args.batch}, {desc}, {args.dtype}, device-side augmentation, "
             "whole-epoch device-resident scan"
         ),
         "hardware": str(jax.devices()[0]),
@@ -196,7 +238,8 @@ def main():
     if os.path.exists(out_path):
         with open(out_path) as f:
             data = json.load(f)
-    key_name = f"full_scale_{args.dtype}" + ("_hard" if args.hard else "")
+    algo_tag = "" if args.algo == "bbb" else f"_svgd{args.particles}"
+    key_name = f"full_scale{algo_tag}_{args.dtype}" + ("_hard" if args.hard else "")
     data[key_name] = entry
     with open(out_path, "w") as f:
         json.dump(data, f, indent=2)

@@ -12,9 +12,11 @@ from beyond_deep_ensembles_tpu.methods import (
     GaussianPrior,
     LossOutput,
     bbb_method,
+    ivon_method,
     last_layer_method,
     map_method,
     predict,
+    svgd_method,
     swag_method,
 )
 from beyond_deep_ensembles_tpu.methods.last_layer import merge_params, split_params
@@ -82,6 +84,56 @@ def test_last_layer_swag_trains_both_parts():
         p1["Dense_0"]["kernel"], p2["Dense_0"]["kernel"]
     )  # backbone deterministic
     assert not np.allclose(p1["Dense_1"]["kernel"], p2["Dense_1"]["kernel"])
+
+
+def test_last_layer_backbone_grads_nonzero_per_inner():
+    """Every inner method the reference composes with last-layer
+    training (iwildcam models.py:87-154: swag_ll, ll_ivon, ll_svgd) must
+    produce a NON-ZERO backbone gradient through metrics['loss'] — the
+    PosteriorMethod contract (methods/api.py): the reported loss is the
+    differentiable pre-update minibatch loss. A detached or post-update
+    loss would silently freeze the backbone (ADVICE r2)."""
+    cases = {
+        "swag": (
+            lambda lf: swag_method(lf, optax.adam(0.01), update_interval=1, start_epoch=0),
+            0,
+        ),
+        "ivon": (
+            lambda lf: ivon_method(lf, lr=0.05, prior_prec=1.0, dataset_size=64, mc_samples=2),
+            0,
+        ),
+        "svgd": (
+            lambda lf: svgd_method(lf, optax.adam(0.01), particle_count=3, dataset_size=64, l2_reg=1e-4),
+            3,
+        ),
+    }
+    for name, (factory, particles) in cases.items():
+        model = Model(TwoLayer())
+        x = jnp.asarray(np.random.RandomState(0).randn(64, 4).astype(np.float32))
+        w = np.random.RandomState(1).randn(4, 1).astype(np.float32)
+        y = jnp.asarray(np.asarray(x) @ w)
+        params, ms = model.init(jax.random.key(0), x)
+
+        def loss_fn(params, model_state, key, batch):
+            xb, yb = batch
+            out, kl, new_ms = model.apply(params, model_state, key, xb, train=True)
+            return LossOutput(loss=jnp.mean((out - yb) ** 2), kl=kl, model_state=new_ms)
+
+        method = last_layer_method(
+            loss_fn, factory, optax.sgd(0.05), head_particles=particles
+        )
+        state = method.init(jax.random.key(1), params, ms)
+        update = jax.jit(method.update)
+        state, _ = update(state, jax.random.key(2), (x, y))
+        moved = float(
+            np.max(
+                np.abs(
+                    np.asarray(state.backbone["Dense_0"]["kernel"])
+                    - np.asarray(params["Dense_0"]["kernel"])
+                )
+            )
+        )
+        assert moved > 1e-7, f"{name}: backbone did not move after one step"
 
 
 def test_last_layer_bbb_runs():
