@@ -90,6 +90,17 @@ DEFAULT_CONFIG = {
 }
 
 
+def _bert_config(config: dict) -> DistilBertConfig:
+    """DistilBERT architecture: base shape by default, TINY_CONFIG under
+    the `tiny` test knob, or an explicit `bert_config` dict override
+    (e.g. the e2e parity track matches a shrunken torch DistilBertModel
+    whose head dims the reference hardcodes at 768, bert.py:16-20)."""
+    override = config.get("bert_config")
+    if override:
+        return DistilBertConfig(**override)
+    return TINY_CONFIG if config.get("tiny") else DistilBertConfig()
+
+
 def _make_backbone(task: str, config: dict, kind: str, dropout_p=None, head_kind=None) -> Model:
     tiny = config.get("tiny", False)
     spec = wilds_data.TASKS[task]
@@ -158,7 +169,7 @@ def _make_backbone(task: str, config: dict, kind: str, dropout_p=None, head_kind
                 head_kind=head,
                 drop_p=dropout_p or 0.2,
                 components=components,
-                config=TINY_CONFIG if tiny else DistilBertConfig(),
+                config=_bert_config(config),
             )
         )
     raise ValueError(f"unknown task {task!r}")
@@ -219,9 +230,19 @@ def _tx(config):
         total = config.get("steps_per_epoch", 1000) * config["epochs"]
         lr = cosine_with_warmup(lr, config.get("warmup_steps", total // 20), total)
 
+    # The reference's image tasks train with SGD+momentum, the DistilBERT
+    # tasks with torch Adam (amazon/models.py:55, civilcomments builders).
+    # torch's Adam applies weight_decay as L2 added to the gradient BEFORE
+    # the moment updates — optax.add_decayed_weights before adam matches.
+    kind = config.get("optimizer_kind", "sgd")
+    inner = (
+        optax.adam(lr)
+        if kind == "adam"
+        else optax.sgd(lr, momentum=config.get("momentum", 0.9))
+    )
     base = optax.chain(
         optax.add_decayed_weights(config.get("weight_decay", 0.0)),
-        optax.sgd(lr, momentum=config.get("momentum", 0.9)),
+        inner,
     )
     if config.get("train_all_layers", True):
         return base
@@ -453,7 +474,7 @@ def _make_sngp(task: str, config: dict) -> Model:
             def __call__(self, x, train: bool = True, n_samples: int = 1):
                 from ..models.bert import DistilBertEncoder
 
-                cfg = TINY_CONFIG if config.get("tiny") else DistilBertConfig()
+                cfg = _bert_config(config)
                 hidden = DistilBertEncoder(cfg, name="bert")(
                     x[:, :, 0], x[:, :, 1], train=train
                 )
