@@ -170,6 +170,12 @@ def _make_backbone(task: str, config: dict, kind: str, dropout_p=None, head_kind
                 drop_p=dropout_p or 0.2,
                 components=components,
                 config=_bert_config(config),
+                # reference build_mcd patches EVERY dropout (encoder
+                # included) to sample at eval unless last_layer_mcd
+                # (amazon/models.py:67-73)
+                mc_encoder_dropout=(
+                    head == "drop" and not config.get("last_layer_mcd", False)
+                ),
             )
         )
     raise ValueError(f"unknown task {task!r}")

@@ -54,17 +54,35 @@ TINY_CONFIG = DistilBertConfig(
 
 
 class TransformerBlock(nn.Module):
-    """Post-LN block (DistilBERT layout: attn -> add&LN -> FFN -> add&LN)."""
+    """Post-LN block (DistilBERT layout: attn -> add&LN -> FFN -> add&LN).
+
+    ``mc_dropout``: keep the block's dropouts active (rescaled,
+    per-example) at eval — the reference's full-model MC-Dropout variant
+    patches EVERY nn.Dropout inside the HF DistilBertModel with
+    ``patch_dropout(model, False)`` (amazon/models.py:73,
+    civilcomments builders), so the encoder samples at eval too."""
 
     dim: int
     n_heads: int
     hidden_dim: int
     dropout: float
+    mc_dropout: bool = False
 
     @nn.compact
     def __call__(self, x, mask, train: bool = True):
         head_dim = self.dim // self.n_heads
         b, l, _ = x.shape
+
+        def drop(h):
+            if self.dropout <= 0:
+                return h
+            if self.mc_dropout:
+                return FixableDropout(self.dropout, freeze_on_eval=False)(
+                    h, train=train
+                )
+            if train:
+                return nn.Dropout(self.dropout, deterministic=False)(h)
+            return h
 
         def proj(name):
             return nn.Dense(self.dim, name=name)
@@ -77,20 +95,19 @@ class TransformerBlock(nn.Module):
         attn = jax.nn.dot_product_attention(q, k, v, mask=attn_mask)
         attn = attn.reshape(b, l, self.dim)
         attn = nn.Dense(self.dim, name="out_lin")(attn)
-        if train and self.dropout > 0:
-            attn = nn.Dropout(self.dropout, deterministic=False)(attn)
+        attn = drop(attn)
         x = nn.LayerNorm(name="sa_layer_norm")(x + attn)
 
         h = nn.Dense(self.hidden_dim, name="lin1")(x)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, name="lin2")(h)
-        if train and self.dropout > 0:
-            h = nn.Dropout(self.dropout, deterministic=False)(h)
+        h = drop(h)
         return nn.LayerNorm(name="output_layer_norm")(x + h)
 
 
 class DistilBertEncoder(nn.Module):
     config: DistilBertConfig
+    mc_dropout: bool = False
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, train: bool = True):
@@ -101,11 +118,15 @@ class DistilBertEncoder(nn.Module):
             cfg.max_position_embeddings, cfg.dim, name="position_embeddings"
         )(pos_ids)
         h = nn.LayerNorm(name="embed_layer_norm")(tok + pos)
-        if train and cfg.dropout > 0:
-            h = nn.Dropout(cfg.dropout, deterministic=False)(h)
+        if cfg.dropout > 0:
+            if self.mc_dropout:
+                h = FixableDropout(cfg.dropout, freeze_on_eval=False)(h, train=train)
+            elif train:
+                h = nn.Dropout(cfg.dropout, deterministic=False)(h)
         for i in range(cfg.n_layers):
             h = TransformerBlock(
-                cfg.dim, cfg.n_heads, cfg.hidden_dim, cfg.dropout, name=f"layer_{i}"
+                cfg.dim, cfg.n_heads, cfg.hidden_dim, cfg.dropout,
+                mc_dropout=self.mc_dropout, name=f"layer_{i}"
             )(h, attention_mask, train=train)
         return h
 
@@ -120,15 +141,19 @@ class BertClassifier(nn.Module):
     drop_p: float = 0.2
     components: int = 1
     config: Optional[DistilBertConfig] = None
+    # Full-model MC-Dropout (reference build_mcd default, last_layer_mcd
+    # False): patch_dropout keeps the ENCODER's dropouts sampling at eval
+    # too, not just the head's (amazon/models.py:67-73).
+    mc_encoder_dropout: bool = False
 
     @nn.compact
     def __call__(self, packed_input, train: bool = True, component=None):
         cfg = self.config or DistilBertConfig()
         input_ids = packed_input[:, :, 0]
         attention_mask = packed_input[:, :, 1]
-        hidden = DistilBertEncoder(cfg, name="bert")(
-            input_ids, attention_mask, train=train
-        )
+        hidden = DistilBertEncoder(
+            cfg, mc_dropout=self.mc_encoder_dropout, name="bert"
+        )(input_ids, attention_mask, train=train)
         cls = hidden[:, 0]
 
         kind = {"map": "plain", "drop": "plain"}.get(self.head_kind, self.head_kind)

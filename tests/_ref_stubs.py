@@ -9,33 +9,43 @@ Used by the end-to-end differential parity tracks
 """
 from __future__ import annotations
 
+import importlib.machinery
 import sys
 import types
 
 REFERENCE = "/root/reference"
 
 
+def _module(name: str) -> types.ModuleType:
+    """Stub module with a real __spec__: transformers/accelerate probe
+    importlib.util.find_spec('wandb'), which raises ValueError for an
+    in-sys.modules module whose __spec__ is None."""
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return mod
+
+
 def install_common_stubs():
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
 
-    wandb = types.ModuleType("wandb")
+    wandb = _module("wandb")
     wandb.init = lambda **kw: None
     wandb.log = lambda *a, **kw: None
     wandb.finish = lambda: None
     sys.modules["wandb"] = wandb
 
-    cw2 = types.ModuleType("cw2")
-    cw_data = types.ModuleType("cw2.cw_data")
-    cw_logging = types.ModuleType("cw2.cw_data.cw_logging")
+    cw2 = _module("cw2")
+    cw_data = _module("cw2.cw_data")
+    cw_logging = _module("cw2.cw_data.cw_logging")
     cw_logging.LoggerArray = type("LoggerArray", (), {})
     cw_logging.getLogger = lambda: None
     cw_logging.AbstractLogger = type("AbstractLogger", (), {})
-    experiment = types.ModuleType("cw2.experiment")
+    experiment = _module("cw2.experiment")
     experiment.AbstractExperiment = type("AbstractExperiment", (), {})
-    cw_error = types.ModuleType("cw2.cw_error")
+    cw_error = _module("cw2.cw_error")
     cw_error.ExperimentSurrender = type("ExperimentSurrender", (Exception,), {})
-    cluster_work = types.ModuleType("cw2.cluster_work")
+    cluster_work = _module("cw2.cluster_work")
     cluster_work.ClusterWork = type("ClusterWork", (), {})
     cw2.cw_data = cw_data
     cw_data.cw_logging = cw_logging
@@ -53,16 +63,16 @@ def install_common_stubs():
         }
     )
 
-    laplace = types.ModuleType("laplace")
+    laplace = _module("laplace")
     laplace.Laplace = type("Laplace", (), {})
-    curvature = types.ModuleType("laplace.curvature")
+    curvature = _module("laplace.curvature")
     curvature.BackPackGGN = type("BackPackGGN", (), {})
     laplace.curvature = curvature
     sys.modules["laplace"] = laplace
     sys.modules["laplace.curvature"] = curvature
 
-    netcal = types.ModuleType("netcal")
-    netcal_metrics = types.ModuleType("netcal.metrics")
+    netcal = _module("netcal")
+    netcal_metrics = _module("netcal.metrics")
     netcal_metrics.ECE = type("ECE", (), {})
     netcal.metrics = netcal_metrics
     sys.modules["netcal"] = netcal
@@ -77,7 +87,7 @@ def install_common_stubs():
 
     # src.wilson imports the vendored bnn-hmc stack and loads published
     # checkpoints; experiments under test only need the symbol to import.
-    wilson = types.ModuleType("src.wilson")
+    wilson = _module("src.wilson")
     wilson.WilsonHMC = type("WilsonHMC", (), {})
     sys.modules["src.wilson"] = wilson
     import src as src_pkg
