@@ -156,7 +156,12 @@ def _make_backbone(task: str, config: dict, kind: str, dropout_p=None, head_kind
                     components=components,
                     dropout_p=dropout_p,
                 )(x, train=train, component=component)
-                return GaussLayer(std_init=0.1, learn_var=True)(h, train=train)
+                # reference poverty config keys init_std/learn_var
+                # (poverty/models.py:47 GaussLayer(init_std, learn_var))
+                return GaussLayer(
+                    std_init=config.get("init_std", 0.1),
+                    learn_var=config.get("learn_var", True),
+                )(h, train=train)
 
         return Model(PovertyNet())
     if task in ("civilcomments", "amazon"):
