@@ -181,7 +181,12 @@ def worst_group_accuracy(
     preds: np.ndarray, targets: np.ndarray, group_meta: np.ndarray
 ) -> dict:
     """Per-identity-group x toxic/non-toxic accuracies and the worst
-    (CivilComments fairness eval, reference civil.py:22-89)."""
+    (CivilComments fairness eval, reference civil.py:22-89). The
+    reference's "worst group accuracy" (civil.py:86) also mins over the
+    all / all-toxic / all-non-toxic aggregate rows — they matter when
+    examples carrying NO identity flag drag an aggregate below every
+    identity cell. Differential test:
+    tests/test_reference_parity_civil_groups.py."""
     correct = preds == targets
     out, worst = {}, 1.0
     for gi, gname in enumerate(CIVIL_GROUPS[: group_meta.shape[1]]):
@@ -192,8 +197,14 @@ def worst_group_accuracy(
             acc = float(correct[sel].mean())
             out[f"acc_{gname}_y{label}"] = acc
             worst = min(worst, acc)
-    out["worst_group_acc"] = worst
     out["accuracy"] = float(correct.mean())
+    for label in (0, 1):
+        sel = targets == label
+        if sel.sum():
+            out[f"acc_all_y{label}"] = float(correct[sel].mean())
+            worst = min(worst, out[f"acc_all_y{label}"])
+    worst = min(worst, out["accuracy"])
+    out["worst_group_acc"] = worst
     return out
 
 
