@@ -365,6 +365,8 @@ def build(task: str, config: dict, key: jax.Array, steps_per_epoch: int) -> Buil
                 prior_prec=config["ivon_prior_prec"],
                 dataset_size=n,
                 mc_samples=config["ivon_mc_samples"],
+                # reference yaml ivon blocks carry damping (amazon.yaml:153)
+                damping=config.get("ivon_damping", 0.0),
             )
         if inner_name == "svgd":
             return lambda lf: svgd_method(

@@ -71,7 +71,8 @@ WD = 0.01
 DROPOUT_P = 0.2
 SWAG_START = 6
 SWAG_DEVIATIONS = 8
-EVAL_SAMPLES = {"map": 1, "mcd": 8, "ll_swag": 8}
+EVAL_SAMPLES = {"map": 1, "mcd": 8, "ll_swag": 8, "ll_ivon": 8}
+IVON_LR, IVON_PREC = 0.05, 50.0
 BERT_SHAPE = dict(
     vocab_size=VOCAB, dim=768, n_layers=1, n_heads=12, hidden_dim=256,
     max_position_embeddings=64,
@@ -208,6 +209,14 @@ def _ref_config(model: str) -> dict:
             "update_interval": 1,
             "deviation_samples": SWAG_DEVIATIONS,
         },
+        "ivon": {
+            "lr": IVON_LR,
+            "prior_prec": IVON_PREC,
+            "damping": 0.001,
+            "augmentation": 1.0,
+            "mc_samples": 2,
+            "dataset_size": N_TRAIN,
+        },
     }
 
 
@@ -303,6 +312,10 @@ def _run_ours(model: str, arrays, init_sd, tmp_path, seed: int = 0):
         "swag_start_epoch": SWAG_START,
         "swag_deviation_samples": SWAG_DEVIATIONS,
         "swag_updates": (N_TRAIN // BATCH) * (EPOCHS - SWAG_START),
+        "ivon_lr": IVON_LR,
+        "ivon_prior_prec": IVON_PREC,
+        "ivon_mc_samples": 2,
+        "ivon_damping": 0.001,
         "bert_config": BERT_SHAPE,
         "train_all_layers": True,
         "pretrained": False,
@@ -345,16 +358,18 @@ def arrays():
 # dropout masks (both sides sample their own), and eval-time RNG.
 # Calibrated against measured same-init cross-framework gaps (r3, CPU):
 # map acc 0.004 / ll 0.047 / ece 0.001; mcd 0.004 / 0.019 / 0.011;
-# ll_swag 0.000 / 0.024 / 0.011 — per-epoch train losses tracking within
-# 0.05 from epoch 1 on over the 12-epoch runs. Tolerances ~3x observed.
+# ll_swag 0.000 / 0.024 / 0.011; ll_ivon 0.000 / 0.069 / 0.014 —
+# per-epoch train losses tracking within 0.05 from epoch 1 on (25% of
+# scale for iVON's O(10) early noisy-MC loss). Tolerances ~3x observed.
 _TOL = {
     "map": {"accuracy": 0.05, "avg_ll": 0.15, "ece": 0.06},
     "mcd": {"accuracy": 0.05, "avg_ll": 0.15, "ece": 0.06},
     "ll_swag": {"accuracy": 0.05, "avg_ll": 0.15, "ece": 0.06},
+    "ll_ivon": {"accuracy": 0.06, "avg_ll": 0.20, "ece": 0.08},
 }
 
 
-@pytest.mark.parametrize("model", ["map", "mcd", "ll_swag"])
+@pytest.mark.parametrize("model", ["map", "mcd", "ll_swag", "ll_ivon"])
 def test_e2e_amazon_parity(model, arrays, tmp_path):
     ref, init_sd, ref_losses = _run_reference(model, arrays, str(tmp_path))
     ours, our_losses = _run_ours(model, arrays, init_sd, tmp_path)
@@ -363,12 +378,15 @@ def test_e2e_amazon_parity(model, arrays, tmp_path):
     print(f"[{model}] our_losses={our_losses}")
     assert np.isfinite(list(ours.values())).all()
     assert len(ref_losses) == len(our_losses) == EPOCHS
-    for e in range(3):
-        assert abs(ref_losses[e] - our_losses[e]) < 0.40, (
+    # scale-aware tracking bound: iVON's reported loss starts at O(10)
+    # (mean over noisy MC samples at the early noise level), the others
+    # at O(0.6)
+    for e in (0, 1, 2, EPOCHS - 1):
+        bound = max(0.40, 0.25 * abs(ref_losses[e]))
+        assert abs(ref_losses[e] - our_losses[e]) < bound, (
             f"{model}: epoch {e} train loss ref={ref_losses[e]:.3f} "
             f"ours={our_losses[e]:.3f}"
         )
-    assert abs(ref_losses[-1] - our_losses[-1]) < 0.40
     # the signal token makes the task learnable: both must beat chance
     # (0.2) clearly or the comparison is vacuous
     assert ref["accuracy"] > 0.5 and ours["accuracy"] > 0.5
