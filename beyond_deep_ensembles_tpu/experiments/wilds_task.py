@@ -232,10 +232,13 @@ def _tx(config):
     schedule = config.get("lr_schedule_kind", "none")
     lr = config["lr"]
     if schedule == "exponential":
+        # staircase: torch ExponentialLR steps ONCE per epoch
+        # (iwildcam.py scheduler.step() in the epoch loop), not smoothly
         lr = optax.exponential_decay(
             lr,
             transition_steps=config.get("steps_per_epoch", 1000),
             decay_rate=config.get("lr_decay_rate", 0.96),
+            staircase=True,
         )
     elif schedule == "cosine_warmup":
         total = config.get("steps_per_epoch", 1000) * config["epochs"]

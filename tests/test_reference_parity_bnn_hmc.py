@@ -238,3 +238,71 @@ def test_hmc_accept_prob_matches_reference():
     energy_diff = kinetic - (ll1 - ll2) - (log_prior(p1) - log_prior(p2))
     our_prob = float(jnp.minimum(1.0, jnp.exp(energy_diff)))
     np.testing.assert_allclose(our_prob, ref_prob, rtol=1e-6)
+
+
+def test_step_size_adaptation_recursion_matches_reference():
+    """The multiplicative step-size adaptation (vendored core/hmc.py:99-104
+    adapt_step_size) drives burn-in; run the LIVE vendored recursion over a
+    sequence of accept probabilities and assert our HmcState step-size
+    trajectory (methods/hmc.py update: step_size * exp(speed * (p - target)),
+    gated on target>0 and speed>0) reproduces it exactly."""
+    from bnn_hmc.core import hmc as ref_hmc
+
+    rng = np.random.RandomState(3)
+    probs = rng.uniform(0.0, 1.0, size=50).astype(np.float32)
+
+    for target, speed in [(0.9, 0.05), (0.8, 0.25), (0.0, 0.05), (0.9, 0.0)]:
+        ref_ss, our_ss = 1e-4, jnp.float32(1e-4)
+        for p in probs:
+            ref_ss = float(
+                ref_hmc.adapt_step_size(
+                    jnp.float32(ref_ss), target, jnp.float32(p), speed
+                )
+            )
+            our_ss = jnp.where(
+                (target > 0) & (speed > 0),
+                our_ss * jnp.exp(speed * (jnp.float32(p) - target)),
+                our_ss,
+            )
+        np.testing.assert_allclose(
+            float(our_ss), ref_ss, rtol=1e-6,
+            err_msg=f"target={target} speed={speed}",
+        )
+
+
+def test_hmc_update_step_size_matches_vendored_adaptation():
+    """Bind OUR HmcState.update to the vendored rule: run one real HMC
+    update (quadratic potential), read back its reported accept_prob, and
+    assert the new step size equals the LIVE vendored
+    adapt_step_size(old, target, accept_prob, speed)."""
+    import optax  # noqa: F401  (parity imports follow suite convention)
+    from bnn_hmc.core import hmc as ref_hmc
+
+    from beyond_deep_ensembles_tpu.methods import hmc as our_hmc
+    from beyond_deep_ensembles_tpu.methods.api import LossOutput
+
+    target, speed, step_size = 0.9, 0.1, 5e-2
+
+    def loss_fn(params, model_state, key, batch):
+        return LossOutput(loss=0.5 * jnp.sum(params["w"] ** 2))
+
+    method = our_hmc.hmc_method(
+        loss_fn,
+        dataset_size=1,
+        step_size=step_size,
+        n_leapfrog=5,
+        prior_std=1.0,
+        target_accept_rate=target,
+        step_size_adaptation_speed=speed,
+    )
+    params = {"w": jnp.asarray(np.random.RandomState(0).randn(6), jnp.float32)}
+    state = method.init(jax.random.key(0), params, {})
+    state, metrics = jax.jit(method.update)(state, jax.random.key(1), None)
+
+    expected = float(
+        ref_hmc.adapt_step_size(
+            jnp.float32(step_size), target,
+            jnp.float32(metrics["accept_prob"]), speed,
+        )
+    )
+    np.testing.assert_allclose(float(state.step_size), expected, rtol=1e-6)
