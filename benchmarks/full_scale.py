@@ -100,10 +100,14 @@ def main():
         )
     else:
         # reference cifar.yaml:215-227 svgd block: SGD momentum 0.9
-        # nesterov, reg_scale 3e-4, 5 particles
+        # nesterov + base-optimizer weight_decay 3e-4, reg_scale 3e-4,
+        # 5 particles
         method = svgd_method(
             loss_fn,
-            optax.sgd(0.05, momentum=0.9, nesterov=True),
+            optax.chain(
+                optax.add_decayed_weights(3e-4),
+                optax.sgd(0.05, momentum=0.9, nesterov=True),
+            ),
             particle_count=args.particles,
             dataset_size=args.n,
             l2_reg=3e-4,
@@ -125,10 +129,9 @@ def main():
     with jax.default_device(jax.devices("cpu")[0]):
         if args.algo == "svgd":
             keys = jax.random.split(jax.random.key(0), args.particles)
-            params = tree_stack(
-                [model.init(k, jnp.zeros((2, 32, 32, 3)))[0] for k in keys]
-            )
-            ms = model.init(keys[0], jnp.zeros((2, 32, 32, 3)))[1]
+            inits = [model.init(k, jnp.zeros((2, 32, 32, 3))) for k in keys]
+            params = tree_stack([p for p, _ in inits])
+            ms = inits[0][1]
         else:
             params, ms = model.init(jax.random.key(0), jnp.zeros((2, 32, 32, 3)))
         state = method.init(jax.random.key(1), params, ms)

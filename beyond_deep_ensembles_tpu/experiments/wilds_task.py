@@ -244,10 +244,13 @@ def _tx(config):
         total = config.get("steps_per_epoch", 1000) * config["epochs"]
         lr = cosine_with_warmup(lr, config.get("warmup_steps", total // 20), total)
 
-    # The reference's image tasks train with SGD+momentum, the DistilBERT
-    # tasks with torch Adam (amazon/models.py:55, civilcomments builders).
-    # torch's Adam applies weight_decay as L2 added to the gradient BEFORE
-    # the moment updates — optax.add_decayed_weights before adam matches.
+    # Only camelyon (and the CIFAR track) train with SGD+momentum in the
+    # reference; iwildcam/fmow/rxrx1/poverty and the DistilBERT tasks all
+    # use torch.optim.Adam (iwildcam/models.py:62, fmow/models.py:60,
+    # rxrx1/models.py:57, poverty/models.py:50, amazon/models.py:55) —
+    # their configs set optimizer_kind: adam. torch's Adam applies
+    # weight_decay as L2 added to the gradient BEFORE the moment updates —
+    # optax.add_decayed_weights before adam matches.
     kind = config.get("optimizer_kind", "sgd")
     inner = (
         optax.adam(lr)

@@ -56,6 +56,13 @@ TINY_CONFIG = DistilBertConfig(
 class TransformerBlock(nn.Module):
     """Post-LN block (DistilBERT layout: attn -> add&LN -> FFN -> add&LN).
 
+    Dropout placement matches HF DistilBERT exactly: on the attention
+    PROBABILITIES (rate ``attention_dropout``,
+    transformers modeling_distilbert MultiHeadSelfAttention.dropout) and
+    after the FFN's lin2 (rate ``dropout``); there is NO dropout after
+    out_lin. When no attention dropout is sampled this pass, attention
+    lowers through the fused ``jax.nn.dot_product_attention`` kernel.
+
     ``mc_dropout``: keep the block's dropouts active (rescaled,
     per-example) at eval — the reference's full-model MC-Dropout variant
     patches EVERY nn.Dropout inside the HF DistilBertModel with
@@ -66,6 +73,7 @@ class TransformerBlock(nn.Module):
     n_heads: int
     hidden_dim: int
     dropout: float
+    attention_dropout: float = 0.0
     mc_dropout: bool = False
 
     @nn.compact
@@ -73,15 +81,13 @@ class TransformerBlock(nn.Module):
         head_dim = self.dim // self.n_heads
         b, l, _ = x.shape
 
-        def drop(h):
-            if self.dropout <= 0:
+        def drop(h, rate):
+            if rate <= 0:
                 return h
             if self.mc_dropout:
-                return FixableDropout(self.dropout, freeze_on_eval=False)(
-                    h, train=train
-                )
+                return FixableDropout(rate, freeze_on_eval=False)(h, train=train)
             if train:
-                return nn.Dropout(self.dropout, deterministic=False)(h)
+                return nn.Dropout(rate, deterministic=False)(h)
             return h
 
         def proj(name):
@@ -90,18 +96,26 @@ class TransformerBlock(nn.Module):
         q = proj("q_lin")(x).reshape(b, l, self.n_heads, head_dim)
         k = proj("k_lin")(x).reshape(b, l, self.n_heads, head_dim)
         v = proj("v_lin")(x).reshape(b, l, self.n_heads, head_dim)
-        # Fused attention; mask [B, L] -> [B, 1, L, L] key-side bias.
         attn_mask = mask[:, None, None, :].astype(bool)
-        attn = jax.nn.dot_product_attention(q, k, v, mask=attn_mask)
+        if self.attention_dropout > 0 and (train or self.mc_dropout):
+            # unfused path: drop attention probabilities like HF
+            scores = jnp.einsum("blhd,bmhd->bhlm", q, k) / jnp.sqrt(
+                jnp.asarray(head_dim, x.dtype)
+            )
+            scores = jnp.where(attn_mask, scores, jnp.finfo(x.dtype).min)
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs = drop(probs, self.attention_dropout)
+            attn = jnp.einsum("bhlm,bmhd->blhd", probs, v)
+        else:
+            attn = jax.nn.dot_product_attention(q, k, v, mask=attn_mask)
         attn = attn.reshape(b, l, self.dim)
         attn = nn.Dense(self.dim, name="out_lin")(attn)
-        attn = drop(attn)
         x = nn.LayerNorm(name="sa_layer_norm")(x + attn)
 
         h = nn.Dense(self.hidden_dim, name="lin1")(x)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, name="lin2")(h)
-        h = drop(h)
+        h = drop(h, self.dropout)
         return nn.LayerNorm(name="output_layer_norm")(x + h)
 
 
@@ -126,6 +140,7 @@ class DistilBertEncoder(nn.Module):
         for i in range(cfg.n_layers):
             h = TransformerBlock(
                 cfg.dim, cfg.n_heads, cfg.hidden_dim, cfg.dropout,
+                attention_dropout=cfg.attention_dropout,
                 mc_dropout=self.mc_dropout, name=f"layer_{i}"
             )(h, attention_mask, train=train)
         return h
