@@ -10,6 +10,7 @@ Used by the end-to-end differential parity tracks
 from __future__ import annotations
 
 import importlib.machinery
+import re
 import sys
 import types
 
@@ -93,3 +94,45 @@ def install_common_stubs():
     import src as src_pkg
 
     src_pkg.wilson = wilson
+
+
+class RecordLog:
+    """Captures the reference train loops' per-epoch losses from their
+    own log lines ('Epoch N: train loss X')."""
+
+    _RE = re.compile(r"Epoch (\d+): train loss ([\d.eE+-]+)")
+
+    def __init__(self):
+        self.losses = []
+
+    def info(self, msg):
+        m = self._RE.search(str(msg))
+        if m:
+            self.losses.append(float(m.group(2)))
+
+
+def loss_capture():
+    """(log_fn, losses) capturing our train() 'epoch N: loss X' lines."""
+    losses = []
+    rex = re.compile(r"loss ([\d.eE+-]+)")
+
+    def log(msg):
+        m = rex.search(msg)
+        if m:
+            losses.append(float(m.group(1)))
+
+    return log, losses
+
+
+def install_wilds1_stub(**attrs):
+    """Install a stub experiments.base.wilds1 module carrying the given
+    loader attributes (the per-task split/loader functions stay with the
+    test that owns the data)."""
+    wilds1 = _module("experiments.base.wilds1")
+    for k, v in attrs.items():
+        setattr(wilds1, k, v)
+    sys.modules["experiments.base.wilds1"] = wilds1
+    import experiments.base as base_pkg
+
+    base_pkg.wilds1 = wilds1
+    return wilds1

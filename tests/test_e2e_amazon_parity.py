@@ -38,9 +38,7 @@ Protocol notes:
 from __future__ import annotations
 
 import os
-import re
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -128,7 +126,7 @@ def _hf_tiny_config():
 
 
 def _install_amazon_stubs(arrays):
-    from _ref_stubs import install_common_stubs
+    from _ref_stubs import install_common_stubs, install_wilds1_stub
 
     install_common_stubs()
 
@@ -148,8 +146,6 @@ def _install_amazon_stubs(arrays):
         "id_test": tensors(xtr, ytr, mtr),
     }
 
-    wilds1 = types.ModuleType("experiments.base.wilds1")
-
     def amazon_split(path, split):
         del path
         return _StubAmazonDataset(*splits[split], train=split == "train")
@@ -163,12 +159,9 @@ def _install_amazon_stubs(arrays):
             num_workers=0,
         )
 
-    wilds1.amazon_split = amazon_split
-    wilds1.amazon_loader = amazon_loader
-    sys.modules["experiments.base.wilds1"] = wilds1
-    import experiments.base as base_pkg
-
-    base_pkg.wilds1 = wilds1
+    install_wilds1_stub(
+        amazon_split=amazon_split, amazon_loader=amazon_loader
+    )
 
     # from_pretrained would download; serve a REAL (randomly initialized)
     # tiny HF DistilBertModel instead — dim stays 768 because the
@@ -220,18 +213,6 @@ def _ref_config(model: str) -> dict:
     }
 
 
-class _RecordLog:
-    _RE = re.compile(r"Epoch (\d+): train loss ([\d.eE+-]+)")
-
-    def __init__(self):
-        self.losses = []
-
-    def info(self, msg):
-        m = self._RE.search(str(msg))
-        if m:
-            self.losses.append(float(m.group(2)))
-
-
 def _run_reference(model: str, arrays, tmpdir: str, seed: int = 1):
     import copy
 
@@ -244,7 +225,9 @@ def _run_reference(model: str, arrays, tmpdir: str, seed: int = 1):
     config = _ref_config(model)
     ensemble = ref_models.get_model(model, config, device)
     init_sd = copy.deepcopy(ensemble.models_and_optimizers[0][0].state_dict())
-    log = _RecordLog()
+    from _ref_stubs import RecordLog
+
+    log = RecordLog()
     ref_amazon.train_model(ensemble, device, config, log, tmpdir.rstrip("/") + "/")
     res = ref_amazon.eval_model(ensemble, config, device, split="test")
     return {
@@ -332,14 +315,9 @@ def _run_ours(model: str, arrays, init_sd, tmp_path, seed: int = 0):
         _transplant(init_sd, built.state.params, tmp_path),
         built.state.model_state,
     )
-    losses = []
-    loss_re = re.compile(r"loss ([\d.eE+-]+)")
+    from _ref_stubs import loss_capture
 
-    def log(msg):
-        m = loss_re.search(msg)
-        if m:
-            losses.append(float(m.group(1)))
-
+    log, losses = loss_capture()
     built = wilds_task.train(built, config, xtr, ytr, log=log)
     res = wilds_task.eval_task(built, "amazon", config, xte, yte, mte)
     return {

@@ -40,9 +40,7 @@ Protocol notes, mirroring tests/test_e2e_cifar_parity.py:
 from __future__ import annotations
 
 import os
-import re
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -110,7 +108,7 @@ class _StubWildsDataset:
 
 
 def _install_wilds_stubs(arrays):
-    from _ref_stubs import install_common_stubs
+    from _ref_stubs import install_common_stubs, install_wilds1_stub
 
     install_common_stubs()
 
@@ -130,8 +128,6 @@ def _install_wilds_stubs(arrays):
         "id_val": tensors(xtr, ytr, mtr),
     }
 
-    wilds1 = types.ModuleType("experiments.base.wilds1")
-
     def camelyon_split(path, split):
         del path
         return _StubWildsDataset(*splits[split], train=split == "train")
@@ -148,12 +144,9 @@ def _install_wilds_stubs(arrays):
             num_workers=0,
         )
 
-    wilds1.camelyon_split = camelyon_split
-    wilds1.camelyon_loader = camelyon_loader
-    sys.modules["experiments.base.wilds1"] = wilds1
-    import experiments.base as base_pkg
-
-    base_pkg.wilds1 = wilds1
+    install_wilds1_stub(
+        camelyon_split=camelyon_split, camelyon_loader=camelyon_loader
+    )
 
 
 def _ref_config(model: str) -> dict:
@@ -180,18 +173,6 @@ def _ref_config(model: str) -> dict:
             },
         },
     }
-
-
-class _RecordLog:
-    _RE = re.compile(r"Epoch (\d+): train loss ([\d.eE+-]+)")
-
-    def __init__(self):
-        self.losses = []
-
-    def info(self, msg):
-        m = self._RE.search(str(msg))
-        if m:
-            self.losses.append(float(m.group(2)))
 
 
 def _run_reference(model: str, arrays, tmpdir: str, seed: int = 1):
@@ -221,7 +202,9 @@ def _run_reference(model: str, arrays, tmpdir: str, seed: int = 1):
     config = _ref_config(model)
     ensemble = ref_models.get_model(model, config, device)
     init_sd = copy.deepcopy(ensemble.models_and_optimizers[0][0].state_dict())
-    log = _RecordLog()
+    from _ref_stubs import RecordLog
+
+    log = RecordLog()
     ref_cam.train_model(ensemble, device, config, log, tmpdir.rstrip("/") + "/")
     res = ref_cam.eval_model(ensemble, config, device, split="test")
     return {
@@ -276,14 +259,9 @@ def _run_ours(model: str, arrays, init_sd, seed: int = 0):
     built.state = built.state.replace(
         params=convert_torch_state_dict(init_sd, built.state.params)
     )
-    losses = []
-    loss_re = re.compile(r"loss ([\d.eE+-]+)")
+    from _ref_stubs import loss_capture
 
-    def log(msg):
-        m = loss_re.search(msg)
-        if m:
-            losses.append(float(m.group(1)))
-
+    log, losses = loss_capture()
     built = wilds_task.train(built, config, xtr, ytr, log=log)
     res = wilds_task.eval_task(built, "camelyon17", config, xte, yte, mte)
     return {

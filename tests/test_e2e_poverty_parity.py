@@ -33,9 +33,7 @@ Protocol notes (mirroring tests/test_e2e_camelyon_parity.py):
 from __future__ import annotations
 
 import os
-import re
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -97,7 +95,7 @@ class _StubPovertyDataset:
 
 
 def _install_poverty_stubs(arrays):
-    from _ref_stubs import install_common_stubs
+    from _ref_stubs import install_common_stubs, install_wilds1_stub
 
     install_common_stubs()
 
@@ -118,8 +116,6 @@ def _install_poverty_stubs(arrays):
         "id_val": tensors(xtr, ytr, mtr),
     }
 
-    wilds1 = types.ModuleType("experiments.base.wilds1")
-
     def poverty_split(path, split, fold=None):
         del path, fold
         return _StubPovertyDataset(*splits[split], train=split == "train")
@@ -133,12 +129,9 @@ def _install_poverty_stubs(arrays):
             num_workers=0,
         )
 
-    wilds1.poverty_split = poverty_split
-    wilds1.poverty_loader = poverty_loader
-    sys.modules["experiments.base.wilds1"] = wilds1
-    import experiments.base as base_pkg
-
-    base_pkg.wilds1 = wilds1
+    install_wilds1_stub(
+        poverty_split=poverty_split, poverty_loader=poverty_loader
+    )
 
     # poverty.py does `from models import get_model, ...` (bare name,
     # resolved from its own directory when run as a script)
@@ -174,18 +167,6 @@ def _ref_config(model: str) -> dict:
     }
 
 
-class _RecordLog:
-    _RE = re.compile(r"Epoch (\d+): train loss ([\d.eE+-]+)")
-
-    def __init__(self):
-        self.losses = []
-
-    def info(self, msg):
-        m = self._RE.search(str(msg))
-        if m:
-            self.losses.append(float(m.group(2)))
-
-
 def _run_reference(model: str, arrays, tmpdir: str, seed: int = 1):
     import copy
 
@@ -198,7 +179,9 @@ def _run_reference(model: str, arrays, tmpdir: str, seed: int = 1):
     config = _ref_config(model)
     ensemble = ref_models.get_model(model, device, config)
     init_sd = copy.deepcopy(ensemble.models_and_optimizers[0][0].state_dict())
-    log = _RecordLog()
+    from _ref_stubs import RecordLog
+
+    log = RecordLog()
     ref_poverty.train_model(ensemble, device, config, log, tmpdir.rstrip("/") + "/")
     res = ref_poverty.eval_model(ensemble, "test", device, config, log)
     return {
@@ -245,14 +228,9 @@ def _run_ours(model: str, arrays, init_sd, seed: int = 0):
         convert_torch_state_dict(init_sd, built.state.params),
         built.state.model_state,
     )
-    losses = []
-    loss_re = re.compile(r"loss ([\d.eE+-]+)")
+    from _ref_stubs import loss_capture
 
-    def log(msg):
-        m = loss_re.search(msg)
-        if m:
-            losses.append(float(m.group(1)))
-
+    log, losses = loss_capture()
     built = wilds_task.train(built, config, xtr, ytr, log=log)
     res = wilds_task.eval_task(built, "poverty", config, xte, yte, mte)
     return {

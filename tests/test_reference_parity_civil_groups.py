@@ -8,7 +8,6 @@ from __future__ import annotations
 import math
 import os
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -26,16 +25,12 @@ if REFERENCE not in sys.path:
 
 
 def _import_ref_civil():
-    from _ref_stubs import install_common_stubs
+    from _ref_stubs import install_common_stubs, install_wilds1_stub
 
     install_common_stubs()
     # civil.py imports the wilds1 loader module and the model builders at
     # module scope; the group-eval functions under test need neither.
-    wilds1 = types.ModuleType("experiments.base.wilds1")
-    sys.modules["experiments.base.wilds1"] = wilds1
-    import experiments.base as base_pkg
-
-    base_pkg.wilds1 = wilds1
+    install_wilds1_stub()
     import experiments.civilcomments.civil as ref_civil
 
     return ref_civil
