@@ -91,55 +91,10 @@ def _install_reference_stubs(split_arrays):
     uci_datasets.Dataset = Dataset
     sys.modules["uci_datasets"] = uci_datasets
 
-    wandb = types.ModuleType("wandb")
-    wandb.init = lambda **kw: None
-    wandb.log = lambda *a, **kw: None
-    wandb.finish = lambda: None
-    sys.modules["wandb"] = wandb
+    # wandb / cw2 / laplace stubs + the reference's stale-import warts
+    from _ref_stubs import install_common_stubs
 
-    cw2 = types.ModuleType("cw2")
-    cw_data = types.ModuleType("cw2.cw_data")
-    cw_logging = types.ModuleType("cw2.cw_data.cw_logging")
-    cw_logging.LoggerArray = type("LoggerArray", (), {})
-    cw_logging.getLogger = lambda: None
-    cw_logging.AbstractLogger = type("AbstractLogger", (), {})
-    experiment = types.ModuleType("cw2.experiment")
-    experiment.AbstractExperiment = type("AbstractExperiment", (), {})
-    cw_error = types.ModuleType("cw2.cw_error")
-    cw_error.ExperimentSurrender = type("ExperimentSurrender", (Exception,), {})
-    cluster_work = types.ModuleType("cw2.cluster_work")
-    cluster_work.ClusterWork = type("ClusterWork", (), {})
-    cw2.cw_data = cw_data
-    cw_data.cw_logging = cw_logging
-    cw2.experiment = experiment
-    cw2.cw_error = cw_error
-    cw2.cluster_work = cluster_work
-    sys.modules.update(
-        {
-            "cw2": cw2,
-            "cw2.cw_data": cw_data,
-            "cw2.cw_data.cw_logging": cw_logging,
-            "cw2.experiment": experiment,
-            "cw2.cw_error": cw_error,
-            "cw2.cluster_work": cluster_work,
-        }
-    )
-
-    laplace = types.ModuleType("laplace")
-    laplace.Laplace = type("Laplace", (), {})
-    curvature = types.ModuleType("laplace.curvature")
-    curvature.BackPackGGN = type("BackPackGGN", (), {})
-    laplace.curvature = curvature
-    sys.modules["laplace"] = laplace
-    sys.modules["laplace.curvature"] = curvature
-
-    # The reference's own stale-import wart (laplace_approx.py:6 imports
-    # `MAP` which src/algos/pp.py does not define — SURVEY.md §7 "known
-    # reference warts"): alias it so the reference code can import.
-    import src.algos.pp as ref_pp
-
-    if not hasattr(ref_pp, "MAP"):
-        ref_pp.MAP = ref_pp.MAPOptimizer
+    install_common_stubs()
 
 
 # ---------------------------------------------------------------------------
