@@ -233,3 +233,52 @@ def test_ensemble_bbb_member_data_parallel_equals_single_device():
     np.testing.assert_allclose(
         par_metrics["loss_per_member"], base_metrics["loss_per_member"], rtol=1e-5
     )
+
+
+def test_svgd_particle_data_parallel_equals_single_device():
+    """SVGD on a (member=2, data=4) mesh reproduces the single-device
+    trajectory. Unlike the ensemble case, SVGD's update COUPLES the
+    particles every step (median-heuristic RBF Gram + phi over the whole
+    particle stack), so particle-axis sharding forces XLA to insert
+    cross-member collectives around the kernel math — this asserts those
+    collectives commute with placement (the SURVEY §7 'particle mesh'
+    design)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from beyond_deep_ensembles_tpu.methods import LossOutput, svgd_method
+    from beyond_deep_ensembles_tpu.parallel import ParallelTrainer, make_mesh
+    from beyond_deep_ensembles_tpu.tree import tree_stack
+
+    def loss_fn(params, model_state, key, batch):
+        x, y = batch
+        return LossOutput(loss=jnp.mean((x @ params["w"] - y) ** 2))
+
+    method = svgd_method(
+        loss_fn, optax.sgd(0.05), particle_count=2, dataset_size=64, l2_reg=1e-3
+    )
+
+    x = jax.random.normal(jax.random.key(4), (64, 3))
+    y = x @ jnp.asarray([[0.3], [-1.0], [2.0]])
+    batches = [(x[i * 16 : (i + 1) * 16], y[i * 16 : (i + 1) * 16]) for i in range(4)]
+    particles = tree_stack(
+        [
+            {"w": jax.random.normal(jax.random.key(20 + p), (3, 1)) * 0.3}
+            for p in range(2)
+        ]
+    )
+
+    base_state, base_metrics = _run_steps(
+        method, method.init(jax.random.key(5), particles, {}), batches
+    )
+
+    mesh = make_mesh(8, member_parallel=2)
+    trainer = ParallelTrainer(method, mesh=mesh, n_members=2)
+    state = trainer.place_state(method.init(jax.random.key(5), particles, {}))
+    par_state, par_metrics = _run_steps(method, state, batches, trainer=trainer)
+
+    np.testing.assert_allclose(
+        par_state.params["w"], base_state.params["w"], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(par_metrics["loss"], base_metrics["loss"], rtol=1e-5)
