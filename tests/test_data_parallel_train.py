@@ -282,3 +282,59 @@ def test_svgd_particle_data_parallel_equals_single_device():
         par_state.params["w"], base_state.params["w"], rtol=1e-5, atol=1e-6
     )
     np.testing.assert_allclose(par_metrics["loss"], base_metrics["loss"], rtol=1e-5)
+
+
+def test_hmc_data_parallel_equals_single_device():
+    """Full-batch HMC with the batch sharded over the data axis matches
+    the single-device chain (the reference's only multi-device path:
+    pmapped full-batch HMC with psum-combined likelihood/grads,
+    train_utils.py:138-182). Same keys -> same momenta/uniforms; only
+    reduction order differs, so trajectories agree to float tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from beyond_deep_ensembles_tpu.methods.api import LossOutput
+    from beyond_deep_ensembles_tpu.methods.hmc import hmc_method
+    from beyond_deep_ensembles_tpu.parallel import make_mesh, replicate, shard_batch
+
+    def loss_fn(params, model_state, key, batch):
+        x, y = batch
+        return LossOutput(loss=jnp.mean((x @ params["w"] - y) ** 2))
+
+    method = hmc_method(
+        loss_fn,
+        dataset_size=64,
+        step_size=5e-3,
+        n_leapfrog=8,
+        prior_std=1.0,
+        target_accept_rate=0.9,
+        step_size_adaptation_speed=0.1,
+    )
+    x = jax.random.normal(jax.random.key(6), (64, 3))
+    y = x @ jnp.asarray([[0.3], [-1.0], [2.0]])
+    params0 = {"w": jnp.zeros((3, 1))}
+
+    def run(state, batch):
+        update = jax.jit(method.update)
+        metrics = None
+        for i in range(6):
+            state, metrics = update(state, jax.random.fold_in(jax.random.key(7), i), batch)
+        return state, metrics
+
+    base_state, base_metrics = run(method.init(jax.random.key(8), params0, {}), (x, y))
+
+    mesh = make_mesh(8, member_parallel=1)
+    state = replicate(mesh, method.init(jax.random.key(8), params0, {}))
+    dp_state, dp_metrics = run(state, shard_batch(mesh, (x, y)))
+
+    np.testing.assert_allclose(
+        np.asarray(dp_state.params["w"]), np.asarray(base_state.params["w"]),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(dp_state.step_size), float(base_state.step_size), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(dp_metrics["log_likelihood"]), float(base_metrics["log_likelihood"]),
+        rtol=1e-4,
+    )
