@@ -338,3 +338,49 @@ def test_hmc_data_parallel_equals_single_device():
         float(dp_metrics["log_likelihood"]), float(base_metrics["log_likelihood"]),
         rtol=1e-4,
     )
+
+
+def test_sgmcmc_data_parallel_equals_single_device():
+    """SGHMC with the batch sharded over the data axis matches the
+    single-device trajectory (the reference pmaps its SGMCMC epochs the
+    same way it pmaps HMC, train_utils.py:218-267). Same keys -> same
+    injected noise; only gradient-reduction order differs."""
+    import jax
+    import jax.numpy as jnp
+
+    from beyond_deep_ensembles_tpu.methods.api import LossOutput
+    from beyond_deep_ensembles_tpu.methods.sgmcmc import sgmcmc_method
+    from beyond_deep_ensembles_tpu.parallel import make_mesh, replicate, shard_batch
+
+    def loss_fn(params, model_state, key, batch):
+        x, y = batch
+        return LossOutput(loss=jnp.mean((x @ params["w"] - y) ** 2))
+
+    method = sgmcmc_method(
+        loss_fn,
+        dataset_size=64,
+        step_size_fn=1e-3,
+        momentum_decay=0.9,
+        preconditioner="rmsprop",
+        sample_interval=3,
+    )
+    x = jax.random.normal(jax.random.key(9), (64, 3))
+    y = x @ jnp.asarray([[0.3], [-1.0], [2.0]])
+    params0 = {"w": jnp.zeros((3, 1))}
+
+    def run(state, batch):
+        update = jax.jit(method.update)
+        for i in range(6):
+            state, _ = update(state, jax.random.fold_in(jax.random.key(10), i), batch)
+        return state
+
+    base = run(method.init(jax.random.key(11), params0, {}), (x, y))
+
+    mesh = make_mesh(8, member_parallel=1)
+    state = replicate(mesh, method.init(jax.random.key(11), params0, {}))
+    dp = run(state, shard_batch(mesh, (x, y)))
+
+    np.testing.assert_allclose(
+        np.asarray(dp.params["w"]), np.asarray(base.params["w"]),
+        rtol=1e-4, atol=1e-6,
+    )
