@@ -384,3 +384,45 @@ def test_sgmcmc_data_parallel_equals_single_device():
         np.asarray(dp.params["w"]), np.asarray(base.params["w"]),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_mfvi_data_parallel_equals_single_device():
+    """MFVI with the batch sharded over the data axis matches the
+    single-device trajectory (completes the bnn-hmc trio: HMC, SGHMC,
+    MFVI — all pmapped in the vendored reference)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from beyond_deep_ensembles_tpu.methods.api import LossOutput
+    from beyond_deep_ensembles_tpu.methods.vi import mfvi_method
+    from beyond_deep_ensembles_tpu.parallel import make_mesh, replicate, shard_batch
+
+    def loss_fn(params, model_state, key, batch):
+        x, y = batch
+        return LossOutput(loss=jnp.mean((x @ params["w"] - y) ** 2))
+
+    method = mfvi_method(
+        loss_fn, optax.adam(1e-2), dataset_size=64, mc_samples=2
+    )
+    x = jax.random.normal(jax.random.key(12), (64, 3))
+    y = x @ jnp.asarray([[0.3], [-1.0], [2.0]])
+    params0 = {"w": jnp.zeros((3, 1))}
+
+    def run(state, batch):
+        update = jax.jit(method.update)
+        for i in range(6):
+            state, _ = update(state, jax.random.fold_in(jax.random.key(13), i), batch)
+        return state
+
+    base = run(method.init(jax.random.key(14), params0, {}), (x, y))
+    mesh = make_mesh(8, member_parallel=1)
+    dp = run(
+        replicate(mesh, method.init(jax.random.key(14), params0, {})),
+        shard_batch(mesh, (x, y)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(dp.params)[0]),
+        np.asarray(jax.tree.leaves(base.params)[0]),
+        rtol=1e-4, atol=1e-6,
+    )
