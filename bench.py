@@ -438,6 +438,25 @@ def main():
             390 * table["mc2_fp32"]["step_ms"] / 1e3, 2
         )
     extra["bbb_table"] = rows
+
+    # Stamp the recorded full-scale artifacts (benchmarks/full_scale.py
+    # runs; regenerate on-device) so the reconciliation is one JSON line:
+    # projected_epoch (above) vs measured epoch (below).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "benchmarks", "results.json")
+        ) as f:
+            recorded = json.load(f)
+        fs = {}
+        for k in ("full_scale_fp32", "full_scale_bf16", "full_scale_fp32_hard",
+                  "full_scale_svgd5_fp32"):
+            if k in recorded and "epoch_seconds" in recorded[k]:
+                fs[k + "_epoch_s"] = recorded[k]["epoch_seconds"]
+        if fs:
+            extra["full_scale_recorded"] = fs
+    except Exception:
+        pass
     result["extra"] = extra
 
     print(json.dumps(result))
