@@ -62,3 +62,25 @@ def test_exponential_staircase_matches_torch_per_epoch():
             )
             step += 1
         sched.step()  # reference steps ONCE per epoch (poverty.py:141)
+
+
+def test_wilson_schedule_matches_reference():
+    """Pointwise parity with the LIVE reference wilson_scheduler
+    (src/algos/util.py:43-54), over both the swag_lr and default-ratio
+    variants, at every epoch of a 300-epoch CIFAR run."""
+    import sys
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from src.algos.util import wilson_scheduler
+
+    from beyond_deep_ensembles_tpu.utils.schedules import wilson_schedule
+
+    for swag_lr in (None, 0.005):
+        ref = wilson_scheduler(300, 0.05, swag_lr)
+        ours = wilson_schedule(300, 0.05, swag_lr)
+        for epoch in range(0, 320, 7):
+            np.testing.assert_allclose(
+                float(ours(epoch)), ref(epoch), rtol=1e-6,
+                err_msg=f"epoch {epoch} swag_lr={swag_lr}",
+            )
