@@ -382,10 +382,15 @@ def main():
             _stage(f"bbb mc2 fp32 {table['mc2_fp32']['step_ms']:.2f} ms")
     except Exception as e:
         _stage(f"table failed: {e!r}")
-    svgd = bench_svgd_mlp(lat)
-    _stage("svgd done")
-    mc = bench_mc_eval(lat)
-    _stage("mc_eval done")
+    # the optional rows respect the budget too — a cold-cache run must
+    # never trade the headline for secondary numbers
+    svgd = mc = None
+    if not over_budget():
+        svgd = bench_svgd_mlp(lat)
+        _stage("svgd done")
+    if not over_budget():
+        mc = bench_mc_eval(lat)
+        _stage("mc_eval done")
     anchor = load_anchor()
 
     result = {
@@ -404,11 +409,13 @@ def main():
     else:
         result["vs_baseline"] = None
 
-    extra = {
-        "svgd20_mlp_step_ms_per_particle": round(svgd["step_ms_per_particle"], 4),
-        "mc_eval_samples_per_sec": round(mc["mc_eval_samples_per_sec"], 1),
-        "tunnel_latency_ms": round(lat * 1e3, 1),
-    }
+    extra = {"tunnel_latency_ms": round(lat * 1e3, 1)}
+    if svgd is not None:
+        extra["svgd20_mlp_step_ms_per_particle"] = round(
+            svgd["step_ms_per_particle"], 4
+        )
+    if mc is not None:
+        extra["mc_eval_samples_per_sec"] = round(mc["mc_eval_samples_per_sec"], 1)
     if "achieved_tflops" in bbb:
         extra["bbb_achieved_tflops"] = round(bbb["achieved_tflops"], 2)
         extra["bbb_mfu_vs_v5e_bf16_peak"] = round(bbb["mfu_vs_v5e_bf16_peak"], 4)

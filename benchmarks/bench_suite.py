@@ -118,19 +118,20 @@ def build(algo: str, batch: int, dtype=jnp.bfloat16):
         raise ValueError(algo)
 
     # init on host CPU: eager ops through the tunnel cost minutes each
-    dev = jax.devices()[0]
-    with jax.default_device(jax.devices("cpu")[0]):
+    from beyond_deep_ensembles_tpu.utils.perf import init_on_host
+
+    def build_state():
         x = jnp.zeros((batch, 32, 32, 3), jnp.float32)
         if particles:
             keys = jax.random.split(jax.random.key(0), particles)
             pairs = [model.init(k, x) for k in keys]
-            state = method.init(
+            return method.init(
                 jax.random.key(1), tree_stack([p for p, _ in pairs]), pairs[0][1]
             )
-        else:
-            params, ms = model.init(jax.random.key(0), x)
-            state = method.init(jax.random.key(1), params, ms)
-    return model, method, jax.device_put(state, dev), particles or 1
+        params, ms = model.init(jax.random.key(0), x)
+        return method.init(jax.random.key(1), params, ms)
+
+    return model, method, init_on_host(build_state), particles or 1
 
 
 def main():

@@ -125,8 +125,9 @@ def main():
     stage("init")
 
     # init on host CPU: eager ops through the tunnel cost minutes each
-    dev = jax.devices()[0]
-    with jax.default_device(jax.devices("cpu")[0]):
+    from beyond_deep_ensembles_tpu.utils.perf import init_on_host
+
+    def build_state():
         if args.algo == "svgd":
             keys = jax.random.split(jax.random.key(0), args.particles)
             inits = [model.init(k, jnp.zeros((2, 32, 32, 3))) for k in keys]
@@ -134,8 +135,9 @@ def main():
             ms = inits[0][1]
         else:
             params, ms = model.init(jax.random.key(0), jnp.zeros((2, 32, 32, 3)))
-        state = method.init(jax.random.key(1), params, ms)
-    state = jax.device_put(state, dev)
+        return method.init(jax.random.key(1), params, ms)
+
+    state = init_on_host(build_state)
 
     # augmentation as ONE bulk pass per epoch (epoch_transform), not
     # per-step ops in the loss — measured 4-6 ms/step cheaper (r3)

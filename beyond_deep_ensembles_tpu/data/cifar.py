@@ -165,7 +165,14 @@ def load_cifar10_corrupted(
     if os.path.exists(root):
         labels = np.load(os.path.join(root, "labels.npy")).astype(np.int64)
         # the Hendrycks dump stacks 5 intensities of the 10k test set per
-        # file (50k rows); infer the block so reduced dumps also load
+        # file (50k rows); infer the block so uniformly-reduced dumps also
+        # load — but validate the layout, or a truncated dump would be
+        # silently served as the wrong intensity
+        if len(labels) % 5 != 0:
+            raise ValueError(
+                f"CIFAR-10-C labels.npy has {len(labels)} rows — not a "
+                "5-intensity stack; re-stage the dump"
+            )
         block = len(labels) // 5
         sel = slice(intensity * block, (intensity + 1) * block)
         xs, ys = [], []
@@ -173,6 +180,11 @@ def load_cifar10_corrupted(
             if file == "labels.npy":
                 continue
             arr = np.load(os.path.join(root, file)).astype(np.float32) / 256.0
+            if len(arr) != len(labels):
+                raise ValueError(
+                    f"CIFAR-10-C {file} has {len(arr)} rows but labels.npy "
+                    f"has {len(labels)} — mismatched dump"
+                )
             xs.append((arr[sel] - MEAN) / STD)
             ys.append(labels[sel])
         x, y = np.concatenate(xs), np.concatenate(ys)

@@ -186,6 +186,15 @@ def _resnet(config, **kw) -> Model:
     return Model(ResNet20(classes=10, activation="swish", norm="frn", **kw))
 
 
+def _uses_epoch_runner(config: dict) -> bool:
+    """True when train() will take the device-resident whole-epoch scan
+    (which does its own bulk augmentation): device_data set AND the
+    multi-device ParallelTrainer path won't claim the run first."""
+    if not config.get("device_data"):
+        return False
+    return not (config.get("data_parallel") and jax.device_count() > 1)
+
+
 def build(config: dict, key: jax.Array, steps_per_epoch: int = 390) -> BuiltExperiment:
     name = config["model"]
     members = config.get("members", 1)
@@ -195,10 +204,12 @@ def build(config: dict, key: jax.Array, steps_per_epoch: int = 390) -> BuiltExpe
     tx = _base_tx(config, steps_per_epoch)
     # device_data epoch runner augments the whole epoch in ONE bulk pass
     # (parallel/multistep.py epoch_transform) — the loss must not
-    # re-augment; every other path augments per step inside the loss.
-    # config["augment"]=False disables augmentation entirely (matched
-    # no-augmentation protocols, e.g. differential parity runs).
-    aug_in_loss = config.get("augment", True) and not config.get("device_data")
+    # re-augment; every other path (including the ParallelTrainer
+    # multi-device path, which wins over the epoch runner in train())
+    # augments per step inside the loss. config["augment"]=False
+    # disables augmentation entirely (matched no-augmentation protocols,
+    # e.g. differential parity runs).
+    aug_in_loss = config.get("augment", True) and not _uses_epoch_runner(config)
 
     particles = None
     if name in ("map", "laplace"):
@@ -463,7 +474,20 @@ def eval_model(
             )
             return bayesian_model_average(log_probs)
 
-        runner = make_eval_runner(predict_one, n, bs)
+        # Cache the jitted whole-test-set runner per shape/config on the
+        # BuiltExperiment: corrupted-split evaluation calls eval_model
+        # once per intensity with identical shapes, and a fresh closure
+        # would recompile the big scan every time (minutes through the
+        # tunneled backend).
+        cache = getattr(built, "_eval_runners", None)
+        if cache is None:
+            cache = {}
+            built._eval_runners = cache
+        cache_key = (n, bs, config["eval_samples"])
+        runner = cache.get(cache_key)
+        if runner is None:
+            runner = make_eval_runner(predict_one, n, bs)
+            cache[cache_key] = runner
         log_marginal = runner(state, key, jnp.asarray(x))
         target = jnp.asarray(y)
         baseline = None

@@ -300,6 +300,10 @@ def laplace_method(
         if step_field is not None and jnp.ndim(step_field) >= 1:
             from ..tree import tree_stack
 
+            # materialize one-shot iterables ONCE: every member must see
+            # the same batches (a generator would be exhausted by member 0)
+            if not isinstance(data, tuple):
+                data = list(data)
             n_members = step_field.shape[0]
             fitted = [
                 fit(jax.tree.map(lambda l, i=i: l[i], state), data, key)

@@ -73,6 +73,7 @@ def svgd_method(
     l2_reg: float = 0.0,
     kernel_grad_scale: float = 1.0,
     use_pallas: bool | None = None,
+    model_state_stacked: bool | None = None,
 ) -> PosteriorMethod:
     def init(key, params, model_state=None):
         """``params`` must already be STACKED with leading particle axis
@@ -83,16 +84,25 @@ def svgd_method(
         ``model_state`` (batch stats, SNGP precision) is stored stacked
         per-particle too — each particle's forward updates its own
         statistics. An unstacked tree (e.g. from a single ``model.init``)
-        is broadcast to all particles."""
+        is broadcast to all particles. The stacked/unstacked distinction
+        is inferred from every leaf's leading dim equaling
+        ``particle_count``; that heuristic is ambiguous when a genuinely
+        unstacked state's leaves ALL happen to have that leading dim
+        (e.g. uniform particle_count-channel layers) — pass the explicit
+        ``model_state_stacked`` knob to svgd_method in that case."""
         del key
         n = jax.tree.leaves(params)[0].shape[0]
         assert n == particle_count, f"expected {particle_count} particles, got {n}"
         if model_state is None or not jax.tree.leaves(model_state):
             model_state = {}
         else:
-            stacked = all(
-                hasattr(l, "ndim") and l.ndim >= 1 and l.shape[0] == n
-                for l in jax.tree.leaves(model_state)
+            stacked = (
+                model_state_stacked
+                if model_state_stacked is not None
+                else all(
+                    hasattr(l, "ndim") and l.ndim >= 1 and l.shape[0] == n
+                    for l in jax.tree.leaves(model_state)
+                )
             )
             if not stacked:
                 model_state = jax.tree.map(

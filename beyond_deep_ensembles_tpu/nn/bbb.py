@@ -32,7 +32,11 @@ class BBBDense(nn.Module):
 
     sampling='activations': local reparameterization — sample the
     pre-activations from their induced Gaussian.
-    sampling='parameters': draw weight matrices explicitly.
+    sampling='parameters': draw weight matrices explicitly. Like the
+    reference (bbb_layers.py:43-60 samples via GaussianParameter.sample
+    on every forward), this path draws FRESH noise at eval too —
+    ``freeze_on_eval`` only shapes the activations path's eval noise
+    (the reference's frozen-eval branch lives there, bbb_layers.py:76-78).
     """
 
     features: int

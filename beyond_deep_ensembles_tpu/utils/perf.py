@@ -32,3 +32,23 @@ def enable_fast_tpu_rng() -> bool:
         return True
     except Exception:
         return False
+
+
+def init_on_host(build_state):
+    """Run eager init code on the host CPU backend, then transfer once.
+
+    Unjitted init (flax module.init, optax tx.init) executes op by op;
+    through the tunneled TPU backend every tiny op costs a ~1-2 min
+    compile+RPC round trip, so building initial state on-device burns
+    whole benchmark budgets. Falls back to building in place when the
+    runtime exposes no CPU platform."""
+    import jax
+
+    dev = jax.devices()[0]
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return build_state()
+    with jax.default_device(cpu):
+        state = build_state()
+    return jax.device_put(state, dev)
