@@ -283,6 +283,24 @@ def build(config: dict, key: jax.Array, steps_per_epoch: int = 390) -> BuiltExpe
                 sngp_kwargs=config["sngp"],
             )
         )
+        # Reference quirk, replicated: the CIFAR build hands the base SGD
+        # ONLY the backbone's parameters (cifar/models.py:98
+        # ``SGD(model.parameters(), ...)`` where ``model`` is the
+        # featurizer) — the GP head's beta stays frozen at its init.
+        # Every OTHER reference task optimizes ``sngp.parameters()``
+        # (e.g. iwildcam/models.py:166), so this is cifar-specific;
+        # ``sngp_train_beta: True`` opts out of the quirk.
+        if not config.get("sngp_train_beta", False):
+            def _label(path, _):
+                top = str(getattr(path[0], "key", path[0]))
+                return "freeze" if top.startswith("SNGPHead") else "train"
+
+            tx = optax.multi_transform(
+                {"train": tx, "freeze": optax.set_to_zero()},
+                param_labels=lambda params: jax.tree_util.tree_map_with_path(
+                    _label, params
+                ),
+            )
         inner = sngp_method(
             _xent_loss_fn(model, augment=aug_in_loss), tx, ridge_penalty=config["sngp"]["ridge_penalty"]
         )

@@ -86,7 +86,13 @@ def predict(
         # ``supports_multisample``: SNGP mean-field/mc, Laplace).
         k_sample, k_apply = jax.random.split(key)
         params, model_state = method.sample(state, k_sample, 0)
-        return apply_fn(params, model_state, k_apply, x, n_samples=n_samples)
+        out = apply_fn(params, model_state, k_apply, x, n_samples=n_samples)
+        if n_samples == 1:
+            # multisample models squeeze the samples axis at S==1
+            # (reference SNGPWrapper, sngp.py:228-233); restore it so the
+            # return contract ([S, ...]) holds for every S.
+            out = jax.tree.map(lambda o: o[None], out)
+        return out
 
     keys = jax.random.split(key, n_samples)
     idx = jnp.arange(n_samples)

@@ -76,6 +76,7 @@ class BasicBlock(nn.Module):
     conv_kind: str = "plain"
     components: int = 1
     dtype: jnp.dtype = jnp.float32
+    norm_bound: float = 6.0  # spectral conv_kind only
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
@@ -89,6 +90,8 @@ class BasicBlock(nn.Module):
 
         def conv(h, features, kernel, stride, padding, use_bias=True):
             kw = {"dtype": self.dtype} if self.conv_kind in ("plain", "bbb") else {}
+            if self.conv_kind == "spectral":
+                kw["norm_bound"] = self.norm_bound
             layer = make_conv(
                 self.conv_kind,
                 features,
@@ -127,6 +130,7 @@ class PreBasicBlock(nn.Module):
     dropout_p: Optional[float] = None
     conv_kind: str = "plain"
     components: int = 1
+    norm_bound: float = 6.0  # spectral conv_kind only
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
@@ -139,6 +143,7 @@ class PreBasicBlock(nn.Module):
             return h
 
         def conv(h, features, kernel, stride, padding, use_bias=True):
+            kw = {"norm_bound": self.norm_bound} if self.conv_kind == "spectral" else {}
             layer = make_conv(
                 self.conv_kind,
                 features,
@@ -147,6 +152,7 @@ class PreBasicBlock(nn.Module):
                 padding=padding,
                 use_bias=use_bias,
                 components=self.components,
+                **kw,
             )
             return call_layer(layer, h, train, component)
 
@@ -187,6 +193,7 @@ class Bottleneck(nn.Module):
     components: int = 1
     torchvision: bool = False
     dropout_freeze_eval: bool = True
+    norm_bound: float = 6.0  # spectral conv_kind only
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
@@ -202,6 +209,7 @@ class Bottleneck(nn.Module):
             return h
 
         def conv(h, features, kernel, stride, padding, use_bias=True):
+            kw = {"norm_bound": self.norm_bound} if self.conv_kind == "spectral" else {}
             layer = make_conv(
                 self.conv_kind,
                 features,
@@ -210,6 +218,7 @@ class Bottleneck(nn.Module):
                 padding=padding,
                 use_bias=use_bias,
                 components=self.components,
+                **kw,
             )
             return call_layer(layer, h, train, component)
 
@@ -249,10 +258,13 @@ class ResNet20(nn.Module):
     components: int = 1
     features_only: bool = False  # return pooled features (SNGP featurizer cut)
     dtype: jnp.dtype = jnp.float32  # compute dtype for conv/dense (bf16 on TPU)
+    norm_bound: float = 6.0  # spectral conv_kind only
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
         kw = {"dtype": self.dtype} if self.conv_kind in ("plain", "bbb") else {}
+        if self.conv_kind == "spectral":
+            kw["norm_bound"] = self.norm_bound
         stem = make_conv(
             self.conv_kind, 16, (3, 3), strides=1, padding=1, components=self.components, **kw
         )
@@ -271,6 +283,7 @@ class ResNet20(nn.Module):
                 self.conv_kind,
                 self.components,
                 dtype=self.dtype,
+                norm_bound=self.norm_bound,
             )(h, train=train, component=component)
 
         in_size = x.shape[1]
@@ -398,11 +411,13 @@ class ResNet18(nn.Module):
     components: int = 1
     features_only: bool = False  # return pooled features (SNGP featurizer cut)
     dtype: jnp.dtype = jnp.float32  # compute dtype for conv/dense (bf16 on TPU)
+    norm_bound: float = 6.0  # spectral conv_kind only
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
+        kw = {"norm_bound": self.norm_bound} if self.conv_kind == "spectral" else {}
         stem = make_conv(
-            self.conv_kind, 64, (3, 3), strides=1, padding=1, components=self.components
+            self.conv_kind, 64, (3, 3), strides=1, padding=1, components=self.components, **kw
         )
         h = call_layer(stem, x, train, component)
         if self.dropout_p is not None:
@@ -419,6 +434,7 @@ class ResNet18(nn.Module):
                 self.dropout_p,
                 self.conv_kind,
                 self.components,
+                norm_bound=self.norm_bound,
             )(h, train=train, component=component)
 
         h = jnp.mean(h, axis=(1, 2))
@@ -446,9 +462,11 @@ class ResNet50(nn.Module):
     # dropout (reference iwildcam/models.py:75 freeze_on_eval=False);
     # from-scratch uses of this class keep the reference default True
     dropout_freeze_eval: bool = True
+    norm_bound: float = 6.0  # spectral conv_kind only
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
+        kw = {"norm_bound": self.norm_bound} if self.conv_kind == "spectral" else {}
         stem = make_conv(
             self.conv_kind,
             64,
@@ -457,6 +475,7 @@ class ResNet50(nn.Module):
             padding=3,
             components=self.components,
             use_bias=not self.torchvision,
+            **kw,
         )
         h = call_layer(stem, x, train, component)
         if self.torchvision:

@@ -110,6 +110,21 @@ def _torch_kind(key: str, arr: np.ndarray):
     if key.endswith("num_batches_tracked") or "running_" in key:
         return None  # dropped: static BN uses batch statistics
     base = key.rsplit(".", 1)[-1]
+    # Spectral-norm power-iteration vectors (reference
+    # kernel/spectral_norm.py:45-46 `_u`/`_v` buffers): transient state,
+    # re-estimated on our side — and 1-d, so without this drop they would
+    # pollute the scale/bias buckets and cross-assign real parameters.
+    if base in ("_u", "_v"):
+        return None
+    # SNGP head buffers (reference kernel/sngp.py Laplace.register_buffer):
+    # precision/covariance live in our mutable `sngp` collection, the RFF
+    # W/b and JL random_matrix in the `buffers` collection — none are flax
+    # params, and precision/covariance are square matrices that the dense
+    # bucket could otherwise swallow. Transplant them separately (see
+    # extract_sngp_buffers).
+    if base in ("precision", "covariance", "seen_data", "feature_scale",
+                "random_matrix") or ".rff." in key:
+        return None
     # reference FRN stores tau/beta/gamma (or *_mu) as [1,C,1,1]
     # (src/architectures/frn.py:12-15); squeeze to our (C,) layout
     for frn in _FRN_NAMES:
@@ -166,6 +181,41 @@ def convert_torch_state_dict(state_dict: Dict[str, "object"], flax_params):
             "tensors unused — architecture mismatch?"
         )
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def transplant_sngp_buffers(state_dict: Dict[str, "object"], model_state: dict):
+    """Fill our ``buffers`` collection from a reference ``SNGPWrapper``
+    state_dict (kernel/sngp.py): the random-Fourier-feature ``rff.W`` /
+    ``rff.b`` and the optional JL ``random_matrix`` are registered torch
+    buffers (not parameters), drawn at construction — matched predictions
+    require carrying them over verbatim. Torch stores W as [D, R] used as
+    ``x @ W`` (sngp.py:52), the same layout as ours. Returns a new
+    model_state; non-SNGP models pass through unchanged."""
+    src = {}
+    for k, v in state_dict.items():
+        base = k.rsplit(".", 1)[-1]
+        if ".rff." in k and base in ("W", "b"):
+            src[base] = np.asarray(v.detach().numpy() if hasattr(v, "detach") else v,
+                                   np.float32)
+        elif base == "random_matrix":
+            # reference applies F.linear(x, random_matrix) with shape
+            # [G, D] (sngp.py:79-81); ours right-multiplies f @ rm [D, G]
+            arr = np.asarray(v.detach().numpy() if hasattr(v, "detach") else v,
+                             np.float32)
+            src[base] = arr.T
+    if not src or "buffers" not in model_state:
+        return model_state
+
+    def fill(node):
+        if isinstance(node, dict) or hasattr(node, "items"):
+            return {k: (jnp.asarray(src[k]) if k in src and not (
+                isinstance(v, dict) or hasattr(v, "items")
+            ) else fill(v)) for k, v in node.items()}
+        return node
+
+    out = dict(model_state)
+    out["buffers"] = fill(model_state["buffers"])
+    return out
 
 
 def load_torch_backbone(path: str, flax_params):

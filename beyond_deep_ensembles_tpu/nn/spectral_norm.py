@@ -8,10 +8,10 @@ scaled by 1 / max(1, sigma / norm_bound) (reference spectral_norm.py:123-130)
 
 Functional design: the power-iteration vector ``u`` lives in the
 ``spectral_norm`` mutable collection (part of model_state) and advances
-``power_iterations`` times per TRAINING forward. The reference warms up
-with 15 iterations at construction (spectral_norm.py:50); here ``u``
-converges over the first few training steps instead (documented
-deviation — the bound is identical at convergence).
+``power_iterations`` times per TRAINING forward. Like the reference it
+warms up with 15 iterations at construction (spectral_norm.py:50, done
+in the variable initializer against the initial kernel) so the bound is
+accurate from step 0.
 """
 from __future__ import annotations
 
@@ -33,11 +33,22 @@ def _spectral_scale(module: nn.Module, name: str, w2d: jax.Array, norm_bound: fl
     """Returns the scale factor 1/max(1, sigma/norm_bound) for matrix w2d
     of shape [out, in], advancing the power-iteration state in train mode."""
     out_dim = w2d.shape[0]
-    u_var = module.variable(
-        COLLECTION,
-        name + "_u",
-        lambda: _l2_normalize(jax.random.normal(jax.random.key(17), (out_dim,))),
-    )
+
+    def _warm_u():
+        # The reference warms up with 15 power iterations at construction
+        # (spectral_norm.py:50 n_power_iterations=15 warmup in __init__) so
+        # sigma is accurate from step 0; matching that matters once the cap
+        # activates mid-training — a lagging estimate under-caps the weight
+        # and systematically changes the dynamics (found by the SNGP e2e
+        # differential track).
+        u = _l2_normalize(jax.random.normal(jax.random.key(17), (out_dim,)))
+        w = jax.lax.stop_gradient(w2d)
+        for _ in range(15):
+            v = _l2_normalize(w.T @ u)
+            u = _l2_normalize(w @ v)
+        return u
+
+    u_var = module.variable(COLLECTION, name + "_u", _warm_u)
     u = u_var.value
     for _ in range(power_iterations):
         v = _l2_normalize(w2d.T @ u)

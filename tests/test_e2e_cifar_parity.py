@@ -93,7 +93,20 @@ LR = 0.03
 WD = 3e-4
 SWAG_START = 12  # epoch index; SWA runs over the last half
 SWAG_DEVIATIONS = 10
-EVAL_SAMPLES = {"map": 1, "mcd": 8, "swag": 8}
+EVAL_SAMPLES = {"map": 1, "mcd": 8, "swag": 8, "sngp": 1}
+# SNGP head shrunk from the production 1024 RFF (cifar.yaml:266) for CPU
+# speed; matched on both sides like every other hyperparameter here.
+SNGP_RFF = 256
+SNGP_CFG = {
+    "num_random_features": SNGP_RFF,
+    "num_gp_features": -1,  # no JL projection (cifar.yaml:267)
+    "normalize_gp_features": False,
+    "ridge_penalty": 1.0,
+    "mean_field_factor": 20.0,
+    "feature_scale": 1.0,
+    "rff_init_std": 0.05,
+}
+SPECTRAL_NORM_BOUND = 6.0
 
 
 def _make_raw_data():
@@ -210,6 +223,14 @@ def _ref_config(model: str) -> dict:
             "update_interval": 1,
             "deviation_samples": SWAG_DEVIATIONS,
         },
+        # SNGP (reference build_sngp, cifar/models.py:85-99): SNGPWrapper
+        # kwargs via **config["sngp"], spectral bound via config["spectral"]
+        "spectral": {"norm_bound": SPECTRAL_NORM_BOUND},
+        "sngp": {
+            "train_batch_size": BATCH,
+            "dataset_size": N_TRAIN,
+            **SNGP_CFG,
+        },
     }
 
 
@@ -233,6 +254,9 @@ def _our_config(model: str) -> dict:
         "swag_start_epoch": SWAG_START,
         "swag_deviation_samples": SWAG_DEVIATIONS,
         "swag_lr": None,  # ref train loop passes swag_lr=None (ratio 0.01)
+        "spectral_norm_bound": SPECTRAL_NORM_BOUND,
+        "sngp": SNGP_CFG,
+        "sngp_train_beta": True,  # match the majority reference scope (see _run_reference)
         "subsample": None,
         "test_subsample": None,
         "seed": 0,
@@ -304,6 +328,16 @@ def _run_ours(model: str, data_root: str, init_sd=None, seed: int = 0):
         built.state = built.state.replace(
             params=convert_torch_state_dict(init_sd, built.state.params)
         )
+        if model == "sngp":
+            # the RFF W/b are construction-time random buffers, not
+            # parameters — matched predictions need the reference's draw
+            from beyond_deep_ensembles_tpu.models.torch_convert import (
+                transplant_sngp_buffers,
+            )
+
+            built.state = built.state.replace(
+                model_state=transplant_sngp_buffers(init_sd, built.state.model_state)
+            )
     losses = []
     loss_re = re.compile(r"loss ([\d.eE+-]+)")
 
@@ -367,6 +401,20 @@ _TOL = {
     "swag": {"accuracy": 0.05, "avg_ll": 0.15, "ece": 0.15},
 }
 
+# SNGP is deliberately NOT in the metric-tolerance track: the reference's
+# own outcome at this protocol is a seed lottery — measured r3 across torch
+# seeds 1/2/3 (frozen-beta cifar build): accuracy 0.326/0.799/0.125, ECE
+# 0.207/0.648/0.016, final train loss 2.03/1.04/2.37; with the
+# majority-task optimizer scope (sngp.parameters()) seed 1 stays FLAT at
+# loss 2.34 for 24 epochs while a same-init run with a different batch
+# order descends to 0.68. The cos() RFF head makes the dynamics chaotic:
+# matched-batch same-init runs of the two frameworks agree to 3e-6 after
+# one step and then separate ~5-30x per step (pure Lyapunov growth, not a
+# formula error). No metric tolerance can be both passable and meaningful
+# there, so SNGP gets the STRONGER stepwise + eval pointwise differential
+# below (test_e2e_sngp_stepwise_parity) instead — the same design the
+# bnn-hmc SGD track uses.
+
 
 @pytest.mark.parametrize("model", ["map", "mcd", "swag"])
 def test_e2e_cifar_parity(model, staged, tmp_path):
@@ -394,3 +442,123 @@ def test_e2e_cifar_parity(model, staged, tmp_path):
         assert abs(ours[key] - ref[key]) < _TOL[model][key], (
             f"{model}: {key} ours={ours[key]:.4f} ref={ref[key]:.4f}"
         )
+
+
+def test_e2e_sngp_stepwise_parity(staged):
+    """SNGP end-to-end differential, pointwise: the LIVE reference
+    SNGPOptimizer.step protocol (forward/backward closures exactly as
+    cifar.py:159-166, spectral-norm power iteration, GP precision
+    accumulation) against our sngp_method on IDENTICAL batches from the
+    SAME initial weights AND the reference's RFF buffer draw — per-leaf
+    parameter agreement after 1/3/6 steps, then eval-path agreement
+    (finalize epoch -> Cholesky covariance -> mean-field logits ->
+    log-softmax). Tolerances are ~10x the measured float-accumulation
+    drift (step 1: 3e-6; step 3: 2.5e-4; step 6: 1.3e-2 — the growth is
+    the chaotic cos-head dynamics amplifying fp32 noise, see the note
+    above test_e2e_cifar_parity). The optimizer spans sngp.parameters()
+    (the six-of-seven reference majority, amazon/models.py:158) so the
+    beta-gradient path is exercised; the cifar-only frozen-beta quirk is
+    pinned by tests/test_sngp.py::test_cifar_build_freezes_beta."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    import torch.nn.functional as F
+    from beyond_deep_ensembles_tpu.experiments import cifar as our_cifar
+    from beyond_deep_ensembles_tpu.models.torch_convert import (
+        convert_torch_state_dict,
+        transplant_sngp_buffers,
+    )
+
+    data_root, arrays = staged
+    _install_cifar_stubs(arrays)
+    import experiments.cifar.models as ref_models
+    from src.algos.kernel.sngp import SNGPOptimizer
+
+    torch.manual_seed(1)
+    config = _ref_config("sngp")
+    ensemble = ref_models.get_model("sngp", config, torch.device("cpu"))
+    ref = ensemble.models_and_optimizers[0][0]
+    opt = SNGPOptimizer(
+        ref, torch.optim.SGD(ref.parameters(), **config["base_optimizer"])
+    )
+    init_sd = copy.deepcopy(ref.state_dict())
+
+    # matched unshuffled batch stream through the reference's own loader
+    # normalization (the stub serves the staged arrays)
+    import experiments.base.cifar as base_cifar
+
+    loader = base_cifar.cifar10_trainloader("", batch_size=BATCH, shuffle=False)
+    tbatches = [(x, y) for x, y in loader][:6]
+
+    os.environ["BDE_DATA_DIR"] = data_root
+    ocfg = {**our_cifar.DEFAULT_CONFIG, **_our_config("sngp"),
+            "lr_schedule": False, "sngp_train_beta": True,
+            "dataset_size": N_TRAIN}
+    built = our_cifar.build(ocfg, jax.random.key(0), max(1, N_TRAIN // BATCH))
+    state = built.state.replace(
+        params=convert_torch_state_dict(init_sd, built.state.params),
+        model_state=transplant_sngp_buffers(init_sd, built.state.model_state),
+    )
+    upd = jax.jit(built.method.update)
+
+    def leaf_gap():
+        sd = ref.state_dict()
+        bw = sd["laplace.beta.weight"].detach().numpy().T
+        stem = (
+            sd["laplace.feature_extractor.model.0.parametrizations.weight.original"]
+            .detach().numpy().transpose(2, 3, 1, 0)
+        )
+        gap_b = np.abs(
+            bw - np.asarray(state.params["SNGPHead_0"]["beta"]["kernel"])
+        ).max()
+        gap_s = np.abs(
+            stem - np.asarray(state.params["SpectralNormConv_0"]["kernel"])
+        ).max()
+        return max(float(gap_b), float(gap_s))
+
+    # lr_schedule False on both sides: the reference steps its scheduler
+    # per EPOCH (cifar.py:170-172) and these 6 steps are intra-epoch, so
+    # the constant-lr comparison is exactly the reference's epoch-0 path.
+    ref.train()
+    tols = {1: 1e-4, 3: 2.5e-3, 6: 5e-2}
+    key = jax.random.key(5)
+    for i, (xb, yb) in enumerate(tbatches):
+        def forward():
+            return F.nll_loss(ref(xb), yb)
+
+        def backward(loss):
+            loss.backward()
+
+        opt.step(forward, backward, grad_scaler=None)
+        key, ku = jax.random.split(key)
+        xo = jnp.asarray(np.transpose(xb.numpy(), (0, 2, 3, 1)))
+        state, _ = upd(state, ku, (xo, jnp.asarray(yb.numpy())))
+        if i + 1 in tols:
+            gap = leaf_gap()
+            assert gap < tols[i + 1], f"step {i+1}: leaf gap {gap:.2e}"
+
+    # eval-path parity: reference complete_epoch + eval forward computes
+    # the Cholesky covariance lazily (kernel/sngp.py:149-160); ours
+    # finalizes the epoch (recompute_covariance_and_reset) and predicts.
+    opt.complete_epoch()
+    ref.eval()
+    xt = tbatches[0][0]
+    with torch.no_grad():
+        ref_logp = ref(xt).numpy()  # LogSoftmax(mean-field logits)
+    state = built.method.finalize_epoch(state)
+    from beyond_deep_ensembles_tpu.methods import predict
+
+    ours_logp = np.asarray(
+        predict(
+            built.method, state, built.apply_fn,
+            jnp.asarray(np.transpose(xt.numpy(), (0, 2, 3, 1))),
+            n_samples=1, key=jax.random.key(7),
+        )[0]
+    )
+    gap = np.abs(ours_logp - ref_logp).max()
+    assert gap < 0.25, f"eval log-prob gap {gap:.3f}"
+    # and the predictions rank the same classes
+    agree = (ours_logp.argmax(1) == ref_logp.argmax(1)).mean()
+    assert agree > 0.9, f"eval argmax agreement {agree:.2f}"

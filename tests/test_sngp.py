@@ -136,3 +136,43 @@ def test_spectral_norm_bound():
     out_small, _, _ = model.apply(params_small, ms, jax.random.key(0), x, train=False)
     ref = x @ np.asarray(params_small["kernel"]) + np.asarray(params_small["bias"])
     np.testing.assert_allclose(np.asarray(out_small), ref, rtol=1e-3, atol=1e-6)
+
+
+def test_cifar_build_freezes_beta():
+    """Reference CIFAR quirk replicated: build_sngp hands SGD only the
+    featurizer's parameters (cifar/models.py:98 ``SGD(model.parameters())``
+    where ``model`` is the backbone), so the GP head's beta stays at init —
+    unlike every other reference task, which optimizes ``sngp.parameters()``
+    (amazon/models.py:158). ``sngp_train_beta: True`` opts out."""
+    from beyond_deep_ensembles_tpu.experiments import cifar as our_cifar
+
+    base = {
+        **our_cifar.DEFAULT_CONFIG,
+        "model": "sngp", "members": 1, "epochs": 1, "batch_size": 16,
+        "lr": 0.05, "weight_decay": 0.0, "momentum": 0.9, "nesterov": True,
+        "lr_schedule": False, "augment": False, "seed": 0, "dataset_size": 32,
+        "sngp": {
+            "num_random_features": 32, "num_gp_features": -1,
+            "normalize_gp_features": False, "ridge_penalty": 1.0,
+            "mean_field_factor": 20.0, "feature_scale": 1.0,
+            "rff_init_std": 0.05,
+        },
+    }
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(16, 32, 32, 3).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 10, 16))
+    for train_beta in (False, True):
+        built = our_cifar.build({**base, "sngp_train_beta": train_beta},
+                                jax.random.key(0), 1)
+        b0 = np.asarray(built.state.params["SNGPHead_0"]["beta"]["kernel"])
+        state, _ = built.method.update(built.state, jax.random.key(1), (x, y))
+        state, _ = built.method.update(state, jax.random.key(2), (x, y))
+        moved = np.abs(
+            np.asarray(state.params["SNGPHead_0"]["beta"]["kernel"]) - b0
+        ).max()
+        backbone_moved = np.abs(
+            np.asarray(state.params["SpectralNormConv_0"]["kernel"])
+            - np.asarray(built.state.params["SpectralNormConv_0"]["kernel"])
+        ).max()
+        assert backbone_moved > 0.0
+        assert (moved > 0.0) == train_beta, (train_beta, moved)
