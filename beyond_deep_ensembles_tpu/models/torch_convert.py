@@ -121,7 +121,7 @@ def _torch_kind(key: str, arr: np.ndarray):
     # W/b and JL random_matrix in the `buffers` collection — none are flax
     # params, and precision/covariance are square matrices that the dense
     # bucket could otherwise swallow. Transplant them separately (see
-    # extract_sngp_buffers).
+    # transplant_sngp_buffers).
     if base in ("precision", "covariance", "seen_data", "feature_scale",
                 "random_matrix") or ".rff." in key:
         return None
