@@ -87,7 +87,12 @@ class PosteriorMethod:
         backward between the head and backbone steps; a detached loss
         would silently zero the backbone gradient
         (tests/test_composition.py asserts backbone movement per inner
-        method).
+        method). Methods that run SEVERAL backward passes per step
+        (SVGD particles, iVON MC samples) additionally report
+        ``metrics['backbone_loss']`` — the SUM of the per-pass losses —
+        which ``last_layer_method`` prefers: the reference's
+        deterministic backbone accumulates every inner backward
+        (algo.py:100-104), so its gradient is the sum, not the mean.
     sample(state, key) -> (params, model_state)
         Draw parameters from the posterior for one prediction
         (reference ``sample_parameters``, algo.py:31-36). Methods whose

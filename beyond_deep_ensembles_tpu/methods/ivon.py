@@ -166,7 +166,12 @@ def ivon_method(
             momentum=tree.tree_where(ok, new_mom, state.momentum),
             precision=tree.tree_where(ok, new_prec, state.precision),
         )
-        return new_state, {"loss": avg_loss}
+        # ``backbone_loss``: under last_layer_method the reference's
+        # deterministic backbone accumulates every MC sample's backward
+        # (ivorn.py:44-63 runs mc_samples fwd/bwd with only iVON's own
+        # params zeroed in between) — the backbone gradient is the SUM over
+        # MC samples; the reported loss stays the mean.
+        return new_state, {"loss": avg_loss, "backbone_loss": acc_loss}
 
     def sample(state: IvonState, key, index=None):
         del index

@@ -128,11 +128,20 @@ def last_layer_method(
         # backbone — XLA shares the forward between head-grad and
         # backbone-grad, matching the reference's reuse of the inner
         # backward passes for the backbone update (algo.py:98-99).
+        # Inner methods that run SEVERAL backward passes per step (SVGD
+        # particles, iVON MC samples) report ``backbone_loss`` — the SUM
+        # whose gradient equals the reference's grad accumulation into the
+        # deterministic optimizer's params (algo.py:100-104) — because the
+        # mean would shrink the backbone gradient by the pass count, which
+        # changes the Adam update whenever weight decay is non-zero.
         def joint(backbone):
             inner_state, metrics = make_inner(backbone).update(
                 state.inner, k_inner, batch
             )
-            return metrics["loss"], (inner_state, metrics)
+            return metrics.get("backbone_loss", metrics["loss"]), (
+                inner_state,
+                metrics,
+            )
 
         grads, (inner_state, metrics) = jax.grad(joint, has_aux=True)(state.backbone)
         updates, backbone_opt = backbone_tx.update(

@@ -179,7 +179,18 @@ def svgd_method(
             opt_state=pick(opt_state, state.opt_state),
             step=state.step + 1,
         )
-        return new_state, {"loss": jnp.mean(losses)}
+        # ``backbone_loss``: when composed under last_layer_method, the
+        # reference's deterministic backbone accumulates EVERY particle's
+        # backward pass (algo.py:100-104 zero_grads once, then
+        # svgd.py:66-80 runs n fwd/bwd; the head-only base optimizer's
+        # zero_grad does not touch backbone grads) — i.e. the backbone
+        # gradient is the SUM over particles, not the mean. The user-facing
+        # "loss" stays the mean (reference step returns total/count,
+        # svgd.py:105).
+        return new_state, {
+            "loss": jnp.mean(losses),
+            "backbone_loss": jnp.sum(losses),
+        }
 
     def sample(state: SvgdState, key, index=None):
         """Cycle through particles (reference svgd.py:107-112); the
