@@ -456,8 +456,8 @@ def main():
         ) as f:
             recorded = json.load(f)
         fs = {}
-        for k in ("full_scale_fp32", "full_scale_bf16", "full_scale_fp32_hard",
-                  "full_scale_svgd5_fp32"):
+        for k in ("full_scale_fp32", "full_scale_bf16", "full_scale_bf16_noaug",
+                  "full_scale_fp32_hard", "full_scale_svgd5_fp32"):
             if k in recorded and "epoch_seconds" in recorded[k]:
                 fs[k + "_epoch_s"] = recorded[k]["epoch_seconds"]
         if fs:

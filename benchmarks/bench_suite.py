@@ -79,16 +79,23 @@ def build(algo: str, batch: int, dtype=jnp.bfloat16):
         swag_method,
     )
     from beyond_deep_ensembles_tpu.methods.api import LossOutput
+    from beyond_deep_ensembles_tpu.methods.laplace import laplace_method
+    from beyond_deep_ensembles_tpu.methods.sngp import sngp_method
     from beyond_deep_ensembles_tpu.models.resnet import ResNet20
     from beyond_deep_ensembles_tpu.nn.base import Model
     from beyond_deep_ensembles_tpu.tree import tree_stack
 
     kind = {"bbb": "bbb", "rank1": "rank1"}.get(algo, "plain")
-    model = Model(
-        ResNet20(classes=10, activation="swish", norm="frn", conv_kind=kind, dtype=dtype,
-                 components=4 if algo == "rank1" else 1,
-                 dropout_p=0.1 if algo == "mcd" else None)
-    )
+    if algo == "sngp":
+        from beyond_deep_ensembles_tpu.experiments.cifar import SNGPResNet20
+
+        model = Model(SNGPResNet20(classes=10))
+    else:
+        model = Model(
+            ResNet20(classes=10, activation="swish", norm="frn", conv_kind=kind, dtype=dtype,
+                     components=4 if algo == "rank1" else 1,
+                     dropout_p=0.1 if algo == "mcd" else None)
+        )
 
     def loss_fn(params, model_state, key, b, component=None):
         x, y = b
@@ -114,6 +121,15 @@ def build(algo: str, batch: int, dtype=jnp.bfloat16):
     elif algo == "svgd":
         particles = 5
         method = svgd_method(loss_fn, tx, particle_count=5, dataset_size=50_000, l2_reg=3e-4)
+    elif algo == "sngp":
+        method = sngp_method(loss_fn, tx)
+    elif algo == "laplace":
+        # MAP training + post-hoc last-layer KRON fit (the reference's
+        # fit_laplace phase over MAP checkpoints); the train timing is
+        # the delegated MAP step, fit_s is timed separately in main()
+        method = laplace_method(
+            model, hessian="kron", regression=False, inner=map_method(loss_fn, tx)
+        )
     else:
         raise ValueError(algo)
 
@@ -140,7 +156,9 @@ def main():
     ap.add_argument("--scan", type=int, default=64, help="steps folded per dispatch")
     ap.add_argument("--eval-samples", type=int, default=50)
     ap.add_argument("--eval-batches", type=int, default=8)
-    ap.add_argument("--algos", default="map,mcd,bbb,rank1,swag,ivon,svgd")
+    ap.add_argument(
+        "--algos", default="map,mcd,bbb,rank1,swag,ivon,svgd,sngp,laplace"
+    )
     args = ap.parse_args()
 
     fast_rng = _setup()
@@ -169,8 +187,31 @@ def main():
         step_ms = max(_timed(run_train) - lat, 1e-9) / K * 1e3
         state = holder["s"]
 
-        def apply_fn(params, model_state, key, x):
-            out, _, _ = model.apply(params, model_state, key, x, train=False)
+        fit_s = None
+        if algo == "sngp":
+            # eval needs the epoch-boundary Cholesky covariance
+            state = jax.jit(method.finalize_epoch)(state)
+        elif algo == "laplace":
+            # post-hoc GGN fit over the same K batches (the reference's
+            # fit_laplace phase; laplace-torch la.fit + marglik sweep)
+            flat_batches = [
+                (stacked[0][i], stacked[1][i]) for i in range(K)
+            ]
+            # sync via scalar fetch (block_until_ready is a no-op here)
+            fit_s = max(
+                _timed(
+                    lambda: float(method.fit(holder["s"], flat_batches).ll_mean.sum()),
+                    reps=1,
+                )
+                - lat,
+                1e-9,
+            )
+            state = method.fit(holder["s"], flat_batches)
+
+        def apply_fn(params, model_state, key, x, n_samples=None):
+            # multisample heads (SNGP) take the draw count in-forward
+            kwargs = {} if n_samples is None else {"n_samples": n_samples}
+            out, _, _ = model.apply(params, model_state, key, x, train=False, **kwargs)
             return jax.nn.log_softmax(out, axis=-1)
 
         nb = args.eval_batches
@@ -198,8 +239,13 @@ def main():
             "step_ms_per_particle": round(step_ms / n_particles, 3),
             "mc_eval_samples_per_sec": round(mc_samples_per_sec, 1),
         }
+        if fit_s is not None:
+            results[algo]["fit_s"] = round(fit_s, 3)
+            results[algo]["fit_batches"] = K
         print(f"{algo:8s} step {step_ms:7.2f} ms ({step_ms/n_particles:6.2f}/particle)  "
-              f"mc-eval {mc_samples_per_sec:12.0f} samples/s", flush=True)
+              f"mc-eval {mc_samples_per_sec:12.0f} samples/s"
+              + (f"  fit {fit_s:.2f} s/{K} batches" if fit_s is not None else ""),
+              flush=True)
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
     meta = {
@@ -213,14 +259,17 @@ def main():
         "headline is mc=1); map's mc-eval uses the identity-sample fast path "
         "(one forward reused across draws)",
     }
-    # merge: keep full_scale_* and any other top-level sections intact
+    # merge: keep full_scale_* and any other top-level sections intact,
+    # and merge per-algorithm so a subset --algos run doesn't drop rows
     existing = {}
     try:
         with open(out_path) as f:
             existing = json.load(f)
     except Exception:
         pass
-    existing.update({"meta": meta, "results": results})
+    merged = dict(existing.get("results", {}))
+    merged.update(results)
+    existing.update({"meta": meta, "results": merged})
     with open(out_path, "w") as f:
         json.dump(existing, f, indent=2)
     print(f"wrote {out_path}")

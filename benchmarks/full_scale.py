@@ -55,6 +55,12 @@ def main():
         "eval — convergence evidence, not just throughput",
     )
     ap.add_argument("--eval-samples", type=int, default=20)
+    ap.add_argument(
+        "--no-augment",
+        action="store_true",
+        help="skip the bulk crop+flip pass (A/B attribution of the gap "
+        "between pure step time x steps and the measured epoch)",
+    )
     args = ap.parse_args()
     if args.hard:
         os.environ["BDE_SYNTH_HARD"] = "1"
@@ -145,7 +151,9 @@ def main():
         method.update,
         x.shape[0],
         args.batch,
-        epoch_transform=lambda k, d: (cifar_data.augment(k, d[0]), d[1]),
+        epoch_transform=None
+        if args.no_augment
+        else (lambda k, d: (cifar_data.augment(k, d[0]), d[1])),
     )
     key = jax.random.key(7)
     stage("first epoch (compiles)")
@@ -222,10 +230,15 @@ def main():
         if args.algo == "bbb"
         else f"{args.particles} particles, ALL vmapped per step"
     )
+    aug_desc = (
+        "no augmentation (A/B attribution)"
+        if args.no_augment
+        else "device-side augmentation"
+    )
     entry = {
         "workload": (
             f"CIFAR-scale {args.algo.upper()} ResNet-20-FRN-swish, {args.n} images "
-            f"x bs{args.batch}, {desc}, {args.dtype}, device-side augmentation, "
+            f"x bs{args.batch}, {desc}, {args.dtype}, {aug_desc}, "
             "whole-epoch device-resident scan"
         ),
         "hardware": str(jax.devices()[0]),
@@ -244,7 +257,11 @@ def main():
         with open(out_path) as f:
             data = json.load(f)
     algo_tag = "" if args.algo == "bbb" else f"_svgd{args.particles}"
-    key_name = f"full_scale{algo_tag}_{args.dtype}" + ("_hard" if args.hard else "")
+    key_name = (
+        f"full_scale{algo_tag}_{args.dtype}"
+        + ("_noaug" if args.no_augment else "")
+        + ("_hard" if args.hard else "")
+    )
     data[key_name] = entry
     with open(out_path, "w") as f:
         json.dump(data, f, indent=2)

@@ -158,3 +158,30 @@ def test_fast_tpu_rng_noop_on_cpu():
 
     assert enable_fast_tpu_rng() is False
     assert jax.random.normal(jax.random.key(0), ()).dtype == jnp.float32
+
+
+def test_augment_matches_dynamic_slice_formulation():
+    # data/cifar.py augment() is the layout-optimized (collapsed-lane
+    # gather + h<->w transpose) form of the naive per-image
+    # dynamic_slice crop; for the same key the two must be BIT-identical
+    # (same RNG draws, same zero padding, flip folded into indices).
+    from beyond_deep_ensembles_tpu.data.cifar import augment
+
+    def augment_naive(key, images):
+        b, h, w, c = images.shape
+        k_crop, k_flip = jax.random.split(key)
+        padded = jnp.pad(images, ((0, 0), (4, 4), (4, 4), (0, 0)))
+        offsets = jax.random.randint(k_crop, (b, 2), 0, 9)
+
+        def crop_one(img, off):
+            return jax.lax.dynamic_slice(img, (off[0], off[1], 0), (h, w, c))
+
+        cropped = jax.vmap(crop_one)(padded, offsets)
+        flip = jax.random.bernoulli(k_flip, 0.5, (b,))
+        return jnp.where(flip[:, None, None, None], cropped[:, :, ::-1, :], cropped)
+
+    key = jax.random.key(42)
+    x = jax.random.normal(jax.random.key(1), (64, 32, 32, 3))
+    out = augment(key, x)
+    assert out.shape == x.shape
+    assert bool(jnp.all(out == augment_naive(key, x)))

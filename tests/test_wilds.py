@@ -173,3 +173,35 @@ def test_bbb_converter():
         if "kernel__gmean" in k and v.shape == kern[0].shape
     ]
     assert any(matches)
+
+
+def test_macro_f1_matches_sklearn_official_convention():
+    # WILDS's iWildCam F1 is sklearn f1_score(average='macro') with
+    # labels=None — macro-averaged over the UNION of labels observed in
+    # targets or predictions (absent classes excluded). Differential
+    # check against sklearn itself over randomized label sets.
+    import warnings
+
+    sklearn_metrics = pytest.importorskip("sklearn.metrics")
+    rng = np.random.RandomState(0)
+    for _ in range(50):
+        n_cls = rng.randint(2, 12)
+        n = rng.randint(5, 200)
+        preds = rng.randint(0, n_cls, n)
+        targs = rng.randint(0, n_cls, n)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            expect = sklearn_metrics.f1_score(targs, preds, average="macro")
+        np.testing.assert_allclose(W.macro_f1(preds, targs, n_cls), expect, atol=1e-12)
+
+
+def test_pearson_matches_scipy():
+    scipy_stats = pytest.importorskip("scipy.stats")
+    rng = np.random.RandomState(1)
+    for _ in range(10):
+        n = rng.randint(3, 100)
+        a = rng.randn(n)
+        b = 0.3 * a + rng.randn(n)
+        np.testing.assert_allclose(
+            W.pearson_r(a, b), scipy_stats.pearsonr(a, b)[0], rtol=1e-10
+        )
