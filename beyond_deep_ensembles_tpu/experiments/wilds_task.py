@@ -223,26 +223,35 @@ class BuiltExperiment:
     regression: bool
 
 
-def _tx(config):
-    """Base optimizer with the per-task LR schedules the reference wires:
-    iWildCam ExponentialLR (iwildcam.py), RxRx1 cosine-with-warmup stepped
-    per batch (rxrx1.py:128-170)."""
+def _scheduled_lr(config, lr):
+    """Per-task LR schedule over a base rate. The reference applies the
+    SAME schedule to every optimizer of a composition — fmow.py:154-158
+    builds ExponentialLR(gamma=lr_decay) for BOTH the last-layer head's
+    base optimizer and the deterministic backbone optimizer — so this is
+    shared by _tx (backbone/full-model) and the iVON head lr."""
     from ..utils.schedules import cosine_with_warmup
 
     schedule = config.get("lr_schedule_kind", "none")
-    lr = config["lr"]
     if schedule == "exponential":
         # staircase: torch ExponentialLR steps ONCE per epoch
         # (iwildcam.py scheduler.step() in the epoch loop), not smoothly
-        lr = optax.exponential_decay(
+        return optax.exponential_decay(
             lr,
             transition_steps=config.get("steps_per_epoch", 1000),
             decay_rate=config.get("lr_decay_rate", 0.96),
             staircase=True,
         )
-    elif schedule == "cosine_warmup":
+    if schedule == "cosine_warmup":
         total = config.get("steps_per_epoch", 1000) * config["epochs"]
-        lr = cosine_with_warmup(lr, config.get("warmup_steps", total // 20), total)
+        return cosine_with_warmup(lr, config.get("warmup_steps", total // 20), total)
+    return lr
+
+
+def _tx(config):
+    """Base optimizer with the per-task LR schedules the reference wires:
+    iWildCam ExponentialLR (iwildcam.py), RxRx1 cosine-with-warmup stepped
+    per batch (rxrx1.py:128-170)."""
+    lr = _scheduled_lr(config, config["lr"])
 
     # Only camelyon (and the CIFAR track) train with SGD+momentum in the
     # reference; iwildcam/fmow/rxrx1/poverty and the DistilBERT tasks all
@@ -365,9 +374,12 @@ def build(task: str, config: dict, key: jax.Array, steps_per_epoch: int) -> Buil
                 kl_rescaling=config["kl_rescaling"],
             )
         if inner_name == "ivon":
+            # the schedule reaches iVON through its lr callable (the
+            # reference's dual-scheduler decays the head optimizer too,
+            # fmow.py:154-158)
             return lambda lf: ivon_method(
                 lf,
-                lr=config["ivon_lr"],
+                lr=_scheduled_lr(config, config["ivon_lr"]),
                 prior_prec=config["ivon_prior_prec"],
                 dataset_size=n,
                 mc_samples=config["ivon_mc_samples"],

@@ -205,3 +205,19 @@ def test_pearson_matches_scipy():
         np.testing.assert_allclose(
             W.pearson_r(a, b), scipy_stats.pearsonr(a, b)[0], rtol=1e-10
         )
+
+
+def test_scheduled_lr_reaches_ivon_head():
+    # fmow.py:154-158 decays BOTH the last-layer head's base optimizer
+    # and the backbone with the same ExponentialLR; our engine routes the
+    # schedule to the iVON head through its lr callable.
+    cfg = {
+        "lr_schedule_kind": "exponential",
+        "steps_per_epoch": 2,
+        "lr_decay_rate": 0.5,
+        "epochs": 1,
+    }
+    f = wilds_task._scheduled_lr(cfg, 0.1)
+    assert float(f(0)) == float(f(1)) == pytest.approx(0.1)
+    assert float(f(2)) == float(f(3)) == pytest.approx(0.05)
+    assert wilds_task._scheduled_lr({"lr_schedule_kind": "none"}, 0.1) == 0.1
