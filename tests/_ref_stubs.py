@@ -124,6 +124,86 @@ def loss_capture():
     return log, losses
 
 
+def install_torchvision_stub(**models):
+    """torchvision is not installed (zero egress); serve a stub
+    ``torchvision.models`` module carrying the given model factories
+    (e.g. resnet50=..., densenet121=...). Reuses an already-installed
+    stub so the rxrx1/iwildcam/fmow tracks can coexist in one process."""
+    if "torchvision" not in sys.modules:
+        tv = _module("torchvision")
+        tv_models = _module("torchvision.models")
+        tv.models = tv_models
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv_models
+    for name, factory in models.items():
+        setattr(sys.modules["torchvision.models"], name, factory)
+
+
+def make_tiny_resnet50(stages, n_classes):
+    """torchvision ``resnet50`` topology at tiny stage sizes: exact
+    torchvision v1.5 bottleneck layout and module-creation order (the
+    transplant to our flax ResNet50(torchvision=True) is
+    logit-parity-proven in tests/test_converter_parity.py), exposing the
+    ``.conv1/.bn1/.layer1..layer4/.fc`` attributes the iwildcam/rxrx1
+    last-layer builders slice for the backbone/head optimizer split
+    (iwildcam/models.py:89-96, rxrx1/models.py:108-116). Stages beyond
+    ``len(stages)`` are empty Sequentials."""
+    import torch
+    import torch.nn as tnn
+
+    class Bottleneck(tnn.Module):
+        def __init__(self, cin, width, cout, stride):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(cin, width, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(width)
+            self.conv2 = tnn.Conv2d(
+                width, width, 3, stride=stride, padding=1, bias=False
+            )
+            self.bn2 = tnn.BatchNorm2d(width)
+            self.conv3 = tnn.Conv2d(width, cout, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(cout)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(cin, cout, 1, stride=stride, bias=False),
+                    tnn.BatchNorm2d(cout),
+                )
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            h = torch.relu(self.bn1(self.conv1(x)))
+            h = torch.relu(self.bn2(self.conv2(h)))
+            h = self.bn3(self.conv3(h))
+            return torch.relu(h + idt)
+
+    class TinyResnet50(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+            cin = 64
+            for stage in range(4):
+                blocks = []
+                n = stages[stage] if stage < len(stages) else 0
+                cout = 256 * 2**stage
+                for b in range(n):
+                    stride = 2 if (stage > 0 and b == 0) else 1
+                    blocks.append(Bottleneck(cin, cout // 4, cout, stride))
+                    cin = cout
+                setattr(self, f"layer{stage + 1}", tnn.Sequential(*blocks))
+            self.out_dims = cin
+            self.fc = tnn.Linear(cin, n_classes)
+
+        def forward(self, x):
+            h = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+            for stage in range(4):
+                h = getattr(self, f"layer{stage + 1}")(h)
+            return self.fc(h.mean(dim=(2, 3)))
+
+    return TinyResnet50()
+
+
 def install_wilds1_stub(**attrs):
     """Install a stub experiments.base.wilds1 module carrying the given
     loader attributes (the per-task split/loader functions stay with the

@@ -91,64 +91,12 @@ def _make_raw_data():
 
 
 def _tiny_resnet50(pretrained=False, **kw):
-    """torchvision ``resnet50`` stand-in at tiny stage sizes: the exact
-    torchvision v1.5 bottleneck topology and module-creation order (the
-    transplant to our flax ResNet50(torchvision=True) is proven in
-    tests/test_converter_parity.py), exposing the attribute layout
-    rxrx1's ll builders slice (conv1/bn1/layer1..layer4/fc,
-    rxrx1/models.py:108-116). Stages beyond len(STAGES) are empty."""
+    """torchvision ``resnet50`` stand-in (shared topology helper) at the
+    track's tiny stage sizes and real 1139-way head."""
     del pretrained, kw
-    import torch.nn as tnn
+    from _ref_stubs import make_tiny_resnet50
 
-    class Bottleneck(tnn.Module):
-        def __init__(self, cin, width, cout, stride):
-            super().__init__()
-            self.conv1 = tnn.Conv2d(cin, width, 1, bias=False)
-            self.bn1 = tnn.BatchNorm2d(width)
-            self.conv2 = tnn.Conv2d(width, width, 3, stride=stride, padding=1, bias=False)
-            self.bn2 = tnn.BatchNorm2d(width)
-            self.conv3 = tnn.Conv2d(width, cout, 1, bias=False)
-            self.bn3 = tnn.BatchNorm2d(cout)
-            self.downsample = None
-            if stride != 1 or cin != cout:
-                self.downsample = tnn.Sequential(
-                    tnn.Conv2d(cin, cout, 1, stride=stride, bias=False),
-                    tnn.BatchNorm2d(cout),
-                )
-
-        def forward(self, x):
-            idt = x if self.downsample is None else self.downsample(x)
-            h = torch.relu(self.bn1(self.conv1(x)))
-            h = torch.relu(self.bn2(self.conv2(h)))
-            h = self.bn3(self.conv3(h))
-            return torch.relu(h + idt)
-
-    class TinyResnet50(tnn.Module):
-        def __init__(self):
-            super().__init__()
-            self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
-            self.bn1 = tnn.BatchNorm2d(64)
-            self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
-            cin = 64
-            for stage in range(4):
-                blocks = []
-                n = STAGES[stage] if stage < len(STAGES) else 0
-                cout = 256 * 2**stage
-                for b in range(n):
-                    stride = 2 if (stage > 0 and b == 0) else 1
-                    blocks.append(Bottleneck(cin, cout // 4, cout, stride))
-                    cin = cout
-                setattr(self, f"layer{stage + 1}", tnn.Sequential(*blocks))
-            self.out_dims = cin
-            self.fc = tnn.Linear(cin, N_CLASSES)
-
-        def forward(self, x):
-            h = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
-            for stage in range(4):
-                h = getattr(self, f"layer{stage + 1}")(h)
-            return self.fc(h.mean(dim=(2, 3)))
-
-    return TinyResnet50()
+    return make_tiny_resnet50(STAGES, N_CLASSES)
 
 
 class _StubWildsDataset:
@@ -160,25 +108,15 @@ class _StubWildsDataset:
 
 
 def _install_rxrx1_stubs(arrays):
-    from _ref_stubs import install_common_stubs, install_wilds1_stub
+    from _ref_stubs import (
+        install_common_stubs,
+        install_torchvision_stub,
+        install_wilds1_stub,
+    )
 
-    if "torchvision" not in sys.modules:
-        import importlib.machinery
-        import types
-
-        tv = types.ModuleType("torchvision")
-        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
-        tv_models = types.ModuleType("torchvision.models")
-        tv_models.__spec__ = importlib.machinery.ModuleSpec(
-            "torchvision.models", None
-        )
-        tv.models = tv_models
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.models"] = tv_models
     # the fmow track may have installed the stub module already; either
     # way serve resnet50 from here
-    sys.modules["torchvision.models"].resnet50 = _tiny_resnet50
-
+    install_torchvision_stub(resnet50=_tiny_resnet50)
     install_common_stubs()
 
     xtr, ytr, mtr, xte, yte, mte = arrays
