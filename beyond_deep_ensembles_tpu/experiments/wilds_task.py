@@ -404,13 +404,33 @@ def build(task: str, config: dict, key: jax.Array, steps_per_epoch: int) -> Buil
         model = _make_backbone(task, config, "plain", dropout_p=config["dropout_p"])
         inner = map_method(_loss_fn_for(model, regression), _tx(config))
     elif name in ("swag", "bbb", "ivon", "svgd"):
-        kind = "bbb" if name == "bbb" else "plain"
-        model = _make_backbone(task, config, kind)
+        if name == "bbb":
+            # Variational scope follows the reference per task: the
+            # from-scratch camelyon/poverty nets are fully variational
+            # (camelyon/models.py:97-116, poverty/models.py:77-83); the
+            # pretrained-backbone tasks put a BBBLinear head on a plain
+            # net unless all_layers_bbb (iwildcam/models.py:101-105,
+            # rxrx1/models.py:82-86, fmow/models.py:92-96); text heads
+            # are resolved inside _make_backbone.
+            head_only = task in ("iwildcam", "rxrx1", "fmow") and not config.get(
+                "all_layers_bbb", False
+            )
+            model = _make_backbone(
+                task, config, "plain" if head_only else "bbb", head_kind="bbb"
+            )
+        else:
+            model = _make_backbone(task, config, "plain")
         inner = inner_factory_for(name)(_loss_fn_for(model, regression))
         if name == "svgd":
             particles = config["svgd_particles"]
     elif name == "rank1":
-        model = _make_backbone(task, config, "rank1")
+        # same per-task scope: head-only Rank1Linear on the pretrained
+        # backbones (iwildcam/models.py:110-114, rxrx1/models.py:88-92,
+        # fmow/models.py:98-102), fully rank-1 elsewhere
+        rank1_head_only = task in ("iwildcam", "rxrx1", "fmow")
+        model = _make_backbone(
+            task, config, "plain" if rank1_head_only else "rank1", head_kind="rank1"
+        )
         inner = bbb_method(
             _loss_fn_for(model, regression),
             _tx(config),

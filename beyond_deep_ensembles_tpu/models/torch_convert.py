@@ -110,6 +110,17 @@ def _torch_kind(key: str, arr: np.ndarray):
     if key.endswith("num_batches_tracked") or "running_" in key:
         return None  # dropped: static BN uses batch statistics
     base = key.rsplit(".", 1)[-1]
+    # Reference GaussianParameter (src/algos/util.py:151-159) registers
+    # ``.mu`` / ``.rho`` submodule parameters. rho (variational std) stays
+    # at our init — dropping it here keeps a 2-d ``weight.rho`` from
+    # cross-assigning into the dense bucket; mu is the mean and maps like
+    # the parameter it wraps (``weight.mu`` -> conv/dense by ndim,
+    # ``bias.mu`` -> bias).
+    if base == "rho" or base.endswith("_rho"):
+        return None
+    if base == "mu":
+        key = key[: -len(".mu")]
+        base = key.rsplit(".", 1)[-1]
     # Spectral-norm power-iteration vectors (reference
     # kernel/spectral_norm.py:45-46 `_u`/`_v` buffers): transient state,
     # re-estimated on our side — and 1-d, so without this drop they would
