@@ -295,6 +295,101 @@ _TOL = {
 _FLOOR = {"map": 0.3, "bbb": 0.2}
 
 
+N_MEMBERS = 3
+MULTIX_EPOCHS = 6
+
+
+def test_e2e_multix_ensemble_parity(arrays, tmp_path):
+    """eval_ensembles.py combination parity: train three independent map
+    members in the LIVE reference loop, ensemble them DeepEnsemble-style
+    exactly as the reference's MultiX phase does
+    (iwildcam/eval_ensembles.py:35-67: load ``{model}_final`` members,
+    ``DeepEnsemble(members)``, ``eval_model``), then evaluate the SAME
+    three final weight sets through our ``multix_from_checkpoints``
+    combination. Identical member weights on both sides, deterministic
+    map forward passes, batch-aligned loaders — only the member
+    distribution (round-robin over eval samples, ensemble.py:38-43), the
+    logsumexp Bayesian model average and the eval stack are under test,
+    so tolerances are tight."""
+    import copy
+
+    import jax
+
+    from beyond_deep_ensembles_tpu.experiments import phases, wilds_task
+    from beyond_deep_ensembles_tpu.models.torch_convert import (
+        convert_torch_state_dict,
+    )
+
+    _install_iwildcam_stubs(arrays)
+    import experiments.iwildcam.models as ref_models
+
+    ref_models.RESNET_OUT_DIMS = 512 if len(STAGES) == 2 else 2048
+    import experiments.iwildcam.iwildcam as ref_iwildcam
+    from src.algos.ensemble import DeepEnsemble
+
+    from _ref_stubs import RecordLog
+
+    device = torch.device("cpu")
+    config = _ref_config("map")
+    config["epochs"] = MULTIX_EPOCHS
+    config["eval_samples"] = N_MEMBERS  # one draw per member (ensemble.py:38-43)
+
+    members, finals = [], []
+    for i in range(N_MEMBERS):
+        torch.manual_seed(10 + i)
+        single = ref_models.get_model("map", config, device)
+        ref_iwildcam.train_model(
+            single, device, config, RecordLog(), str(tmp_path) + "/"
+        )
+        members.append(single.models_and_optimizers[0])
+        finals.append(
+            copy.deepcopy(single.models_and_optimizers[0][0].state_dict())
+        )
+    ens = DeepEnsemble(members)
+    ref = ref_iwildcam.eval_model(ens, config, device, split="test")
+
+    xtr, _, _, xte, yte, mte = arrays
+    spe = N_TRAIN // BATCH
+    our_config = {
+        **wilds_task.DEFAULT_CONFIG,
+        "model": "map",
+        "members": 1,
+        "epochs": MULTIX_EPOCHS,
+        "batch_size": BATCH,
+        "eval_batch_size": BATCH,
+        "eval_samples": N_MEMBERS,
+        "ece_bins": 10,
+        "optimizer_kind": "adam",
+        "lr": LR,
+        "weight_decay": WD,
+        "steps_per_epoch": spe,
+        "dropout_p": None,
+        "prior_std": PRIOR_STD,
+        "tiny": True,
+        "static_bn": True,
+        "pretrained": False,
+        "torchvision_arch": True,
+        "dataset_size": N_TRAIN,
+        "seed": 0,
+    }
+    built = wilds_task.build("iwildcam", our_config, jax.random.key(0), spe)
+    states = [
+        built.state.replace(params=convert_torch_state_dict(sd, built.state.params))
+        for sd in finals
+    ]
+    built.method, built.state = phases.multix_from_checkpoints(built.method, states)
+    ours = wilds_task.eval_task(built, "iwildcam", our_config, xte, yte, mte)
+    print(f"[multix] reference={ref} ours={ours}")
+
+    # same weights evaluated by both stacks: only forward-pass numerics
+    # (flax vs torch, logit parity ~1e-5 in test_converter_parity) and
+    # batch-stat BN accumulation order separate them
+    assert abs(ours["accuracy"] - float(ref["accuracy"])) < 0.01
+    assert abs(ours["macro_f1"] - float(ref["macro_f1"])) < 0.02
+    assert abs(ours["avg_log_likelihood"] - float(ref["log_likelihood"])) < 0.01
+    assert abs(ours["ece"] - float(ref["ece"])) < 0.01
+
+
 @pytest.mark.parametrize("model", ["map", "bbb"])
 def test_e2e_iwildcam_parity(model, arrays, tmp_path):
     ref, init_sd, ref_losses = _run_reference(model, arrays, str(tmp_path))
