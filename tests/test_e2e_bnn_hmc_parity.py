@@ -186,6 +186,148 @@ def _run_ours(x, y, xte, init_params):
     return dict(state.params), losses, np.asarray(jax.nn.log_softmax(out))
 
 
+SGLD_INIT_LR = 3e-4
+SGLD_FINAL_LR = 3e-5
+SGLD_BURNIN = EPOCHS // 2  # full batch: 1 step per epoch
+
+
+def _run_reference_sgmcmc(x, y, xte, momentum_decay, rmsprop, monkeypatch):
+    """The vendored SGMCMC experiment loop exactly as run_sgmcmc.py
+    drives it (run_sgmcmc.py:160-180): sgld_gradient_update with the
+    constant-with-cosine-burnin schedule (run_sgmcmc.py:115-120) inside
+    make_sgd_train_epoch. The ONLY shim: ``normal_like_tree`` is patched
+    to return zeros, removing the Langevin noise — the injected-noise
+    dynamics are step-parity-tested separately
+    (tests/test_reference_parity_bnn_hmc.py); zero noise makes the full
+    LOOP (schedule stepping, momentum, RMSProp preconditioner state,
+    epoch structure) deterministic so trajectories must match exactly."""
+    from bnn_hmc.core import sgmcmc as ref_sgmcmc
+    from bnn_hmc.utils import losses as ref_losses
+    from bnn_hmc.utils import models as ref_models
+    from bnn_hmc.utils import optim_utils as ref_optim
+    from bnn_hmc.utils import train_utils as ref_train
+    from bnn_hmc.utils import tree_utils as ref_tree_utils
+
+    monkeypatch.setattr(
+        ref_tree_utils,
+        "normal_like_tree",
+        lambda tree, key: (jax.tree.map(jnp.zeros_like, tree), key),
+    )
+
+    net_apply, net_init = ref_models.get_model(
+        "mlp_classification", {"num_classes": C}, layer_dims=[32, 32]
+    )
+    ll_fn = ref_losses.make_xent_log_likelihood(1.0)
+    prior_fn, _ = ref_losses.make_gaussian_log_prior(WD, 1.0)
+    lr_schedule = ref_optim.make_constant_lr_schedule_with_cosine_burnin(
+        SGLD_INIT_LR, SGLD_FINAL_LR, SGLD_BURNIN
+    )
+    opt = ref_sgmcmc.sgld_gradient_update(
+        lr_schedule,
+        seed=5,
+        momentum_decay=momentum_decay,
+        preconditioner=(
+            ref_sgmcmc.get_rmsprop_preconditioner() if rmsprop else None
+        ),
+    )
+
+    params, net_state = net_init(
+        jax.random.PRNGKey(7), (jnp.asarray(x[:2]), jnp.asarray(y[:2])), True
+    )
+    init_params = jax.tree.map(np.asarray, params)
+    opt_state = opt.init(params)
+
+    epoch_fn = ref_train.make_sgd_train_epoch(
+        net_apply, ll_fn, prior_fn, opt, num_batches=1
+    )
+    train_set = (jnp.asarray(x)[None], jnp.asarray(y)[None])
+    net_state_p = jax.tree.map(lambda a: a[None], net_state)
+    key_p = jax.random.split(jax.random.PRNGKey(3), 1)
+
+    for _ in range(EPOCHS):
+        params, net_state_p, opt_state, _, key_p = epoch_fn(
+            params, net_state_p, opt_state, train_set, key_p
+        )
+
+    te_logits, _ = net_apply(
+        params,
+        jax.tree.map(lambda a: a[0], net_state_p),
+        None,
+        (jnp.asarray(xte), jnp.zeros((xte.shape[0],), jnp.int32)),
+        False,
+    )
+    final = jax.tree.map(np.asarray, params)
+    return init_params, final, np.asarray(jax.nn.log_softmax(te_logits))
+
+
+def _run_ours_sgmcmc(x, y, xte, init_params, momentum_decay, rmsprop):
+    from beyond_deep_ensembles_tpu.experiments import bnn_hmc as ours
+    from beyond_deep_ensembles_tpu.models.zoo import MLP
+    from beyond_deep_ensembles_tpu.nn.base import Model
+    from beyond_deep_ensembles_tpu.utils.schedules import (
+        constant_with_cosine_burnin,
+    )
+
+    model = Model(MLP(layer_dims=(32, 32), out_dim=C))
+    _, state = ours.run_sgmcmc(
+        model,
+        (x, y),
+        n_epochs=EPOCHS,
+        batch_size=N,  # full batch: batch order is no nuisance
+        step_size=constant_with_cosine_burnin(
+            SGLD_INIT_LR, SGLD_FINAL_LR, SGLD_BURNIN
+        ),
+        momentum_decay=momentum_decay,
+        temperature=0.0,  # the principled knob for zero Langevin noise
+        prior_std=1.0 / math.sqrt(WD),
+        preconditioner="rmsprop" if rmsprop else None,
+        sample_interval=10_000,
+        seed=0,
+        init_params=_haiku_mlp_to_flax(init_params),
+    )
+    out, _, _ = model.apply(
+        state.params, state.model_state, jax.random.key(0), jnp.asarray(xte),
+        train=False,
+    )
+    return dict(state.params), np.asarray(jax.nn.log_softmax(out))
+
+
+@pytest.mark.parametrize(
+    "momentum_decay,rmsprop", [(0.0, False), (0.9, True)],
+    ids=["sgld_identity", "sghmc_rmsprop"],
+)
+def test_e2e_sgmcmc_trajectory_parity(momentum_decay, rmsprop, monkeypatch):
+    """SGLD (identity mass) and SGHMC (momentum + RMSProp mass): the
+    whole vendored epoch loop vs our run_sgmcmc, noise-free, from the
+    same init — final parameters and test predictions must agree to
+    float32 accumulation error. The descent-convention mapping needs no
+    lr rescaling here: our potential is dataset_size*mean_loss + prior
+    (methods/sgmcmc.py update), the same total-gradient the vendored
+    loop feeds sgld_gradient_update."""
+    x, y, xte, yte = _make_data()
+    init_params, ref_final, ref_te = _run_reference_sgmcmc(
+        x, y, xte, momentum_decay, rmsprop, monkeypatch
+    )
+    our_final, our_te = _run_ours_sgmcmc(
+        x, y, xte, init_params, momentum_decay, rmsprop
+    )
+
+    ref_flax = _haiku_mlp_to_flax(ref_final)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=0
+        ),
+        ref_flax,
+        our_final,
+    )
+    assert float(np.max(np.abs(our_te - ref_te))) < 1e-4
+
+    acc_ref = float((np.argmax(ref_te, 1) == yte).mean())
+    acc_ours = float((np.argmax(our_te, 1) == yte).mean())
+    assert acc_ref == acc_ours
+    assert acc_ours > 0.45  # chance = 0.25
+
+
 def test_e2e_sgd_trajectory_parity():
     x, y, xte, yte = _make_data()
     init_params, ref_final, ref_logprobs, ref_te = _run_reference(x, y, xte)
