@@ -75,6 +75,7 @@ class TransformerBlock(nn.Module):
     dropout: float
     attention_dropout: float = 0.0
     mc_dropout: bool = False
+    dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 on TPU)
 
     @nn.compact
     def __call__(self, x, mask, train: bool = True):
@@ -91,47 +92,59 @@ class TransformerBlock(nn.Module):
             return h
 
         def proj(name):
-            return nn.Dense(self.dim, name=name)
+            return nn.Dense(self.dim, name=name, dtype=self.dtype)
 
         q = proj("q_lin")(x).reshape(b, l, self.n_heads, head_dim)
         k = proj("k_lin")(x).reshape(b, l, self.n_heads, head_dim)
         v = proj("v_lin")(x).reshape(b, l, self.n_heads, head_dim)
         attn_mask = mask[:, None, None, :].astype(bool)
         if self.attention_dropout > 0 and (train or self.mc_dropout):
-            # unfused path: drop attention probabilities like HF
-            scores = jnp.einsum("blhd,bmhd->bhlm", q, k) / jnp.sqrt(
-                jnp.asarray(head_dim, x.dtype)
-            )
-            scores = jnp.where(attn_mask, scores, jnp.finfo(x.dtype).min)
+            # unfused path: drop attention probabilities like HF.
+            # bf16 inputs hit the MXU; scores accumulate in fp32
+            # (preferred_element_type) so the softmax is numerically clean,
+            # then probs return to the compute dtype for the PV matmul.
+            scores = jnp.einsum(
+                "blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32
+            ) / jnp.sqrt(jnp.float32(head_dim))
+            scores = jnp.where(attn_mask, scores, jnp.finfo(jnp.float32).min)
             probs = jax.nn.softmax(scores, axis=-1)
-            probs = drop(probs, self.attention_dropout)
+            probs = drop(probs, self.attention_dropout).astype(q.dtype)
             attn = jnp.einsum("bhlm,bmhd->blhd", probs, v)
         else:
             attn = jax.nn.dot_product_attention(q, k, v, mask=attn_mask)
         attn = attn.reshape(b, l, self.dim)
-        attn = nn.Dense(self.dim, name="out_lin")(attn)
-        x = nn.LayerNorm(name="sa_layer_norm")(x + attn)
+        attn = nn.Dense(self.dim, name="out_lin", dtype=self.dtype)(attn)
+        # LayerNorm statistics run in fp32 regardless of compute dtype
+        # (flax reduces in promoted fp32 when dtype=bf16); output returns
+        # to the compute dtype so the next matmul stays on the MXU.
+        x = nn.LayerNorm(name="sa_layer_norm", dtype=self.dtype)(x + attn)
 
-        h = nn.Dense(self.hidden_dim, name="lin1")(x)
+        h = nn.Dense(self.hidden_dim, name="lin1", dtype=self.dtype)(x)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, name="lin2")(h)
+        h = nn.Dense(self.dim, name="lin2", dtype=self.dtype)(h)
         h = drop(h, self.dropout)
-        return nn.LayerNorm(name="output_layer_norm")(x + h)
+        return nn.LayerNorm(name="output_layer_norm", dtype=self.dtype)(x + h)
 
 
 class DistilBertEncoder(nn.Module):
     config: DistilBertConfig
     mc_dropout: bool = False
+    dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 on TPU)
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, train: bool = True):
         cfg = self.config
-        tok = nn.Embed(cfg.vocab_size, cfg.dim, name="word_embeddings")(input_ids)
+        tok = nn.Embed(
+            cfg.vocab_size, cfg.dim, name="word_embeddings", dtype=self.dtype
+        )(input_ids)
         pos_ids = jnp.arange(input_ids.shape[1])[None, :]
         pos = nn.Embed(
-            cfg.max_position_embeddings, cfg.dim, name="position_embeddings"
+            cfg.max_position_embeddings,
+            cfg.dim,
+            name="position_embeddings",
+            dtype=self.dtype,
         )(pos_ids)
-        h = nn.LayerNorm(name="embed_layer_norm")(tok + pos)
+        h = nn.LayerNorm(name="embed_layer_norm", dtype=self.dtype)(tok + pos)
         if cfg.dropout > 0:
             if self.mc_dropout:
                 h = FixableDropout(cfg.dropout, freeze_on_eval=False)(h, train=train)
@@ -141,7 +154,7 @@ class DistilBertEncoder(nn.Module):
             h = TransformerBlock(
                 cfg.dim, cfg.n_heads, cfg.hidden_dim, cfg.dropout,
                 attention_dropout=cfg.attention_dropout,
-                mc_dropout=self.mc_dropout, name=f"layer_{i}"
+                mc_dropout=self.mc_dropout, dtype=self.dtype, name=f"layer_{i}"
             )(h, attention_mask, train=train)
         return h
 
@@ -160,6 +173,7 @@ class BertClassifier(nn.Module):
     # False): patch_dropout keeps the ENCODER's dropouts sampling at eval
     # too, not just the head's (amazon/models.py:67-73).
     mc_encoder_dropout: bool = False
+    dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 on TPU)
 
     @nn.compact
     def __call__(self, packed_input, train: bool = True, component=None):
@@ -167,9 +181,11 @@ class BertClassifier(nn.Module):
         input_ids = packed_input[:, :, 0]
         attention_mask = packed_input[:, :, 1]
         hidden = DistilBertEncoder(
-            cfg, mc_dropout=self.mc_encoder_dropout, name="bert"
+            cfg, mc_dropout=self.mc_encoder_dropout, dtype=self.dtype, name="bert"
         )(input_ids, attention_mask, train=train)
-        cls = hidden[:, 0]
+        # the head is a tiny fraction of the flops — keep it fp32 for
+        # numerically clean logits under any head_kind
+        cls = hidden[:, 0].astype(jnp.float32)
 
         kind = {"map": "plain", "drop": "plain"}.get(self.head_kind, self.head_kind)
         h = call_layer(

@@ -43,9 +43,12 @@ class DenseLayer(nn.Module):
     dropout_p: Optional[float] = None
     track_running_stats: bool = False
     dropout_freeze_eval: bool = True
+    dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 on TPU)
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
+        kw = {"dtype": self.dtype} if self.conv_kind in ("plain", "bbb") else {}
+
         def drop(h):
             if self.dropout_p is not None:
                 return FixableDropout(
@@ -62,6 +65,7 @@ class DenseLayer(nn.Module):
                 (1, 1),
                 use_bias=False,
                 components=self.components,
+                **kw,
             ),
             h,
             train,
@@ -78,6 +82,7 @@ class DenseLayer(nn.Module):
                 padding=1,
                 use_bias=False,
                 components=self.components,
+                **kw,
             ),
             h,
             train,
@@ -104,9 +109,11 @@ class DenseNet(nn.Module):
     # (frozen-mask eval); the fmow pretrained-densenet task passes False
     # (reference fmow/models.py:73 freeze_on_eval=False)
     dropout_freeze_eval: bool = True
+    dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 on TPU)
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
+        kw = {"dtype": self.dtype} if self.conv_kind in ("plain", "bbb") else {}
         h = call_layer(
             make_conv(
                 self.conv_kind,
@@ -116,6 +123,7 @@ class DenseNet(nn.Module):
                 padding=3,
                 use_bias=False,
                 components=self.components,
+                **kw,
             ),
             x,
             train,
@@ -139,6 +147,7 @@ class DenseNet(nn.Module):
                     self.dropout_p,
                     self.track_running_stats,
                     dropout_freeze_eval=self.dropout_freeze_eval,
+                    dtype=self.dtype,
                 )(h, train=train, component=component)
                 h = jnp.concatenate([h, new], axis=-1)
             if i != len(self.block_config) - 1:
@@ -152,6 +161,7 @@ class DenseNet(nn.Module):
                         (1, 1),
                         use_bias=False,
                         components=self.components,
+                        **kw,
                     ),
                     t,
                     train,
@@ -178,6 +188,7 @@ class DenseNetClassifier(nn.Module):
     dropout_p: Optional[float] = None
     track_running_stats: bool = False
     dropout_freeze_eval: bool = True
+    dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 on TPU)
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
@@ -191,6 +202,9 @@ class DenseNetClassifier(nn.Module):
             self.dropout_p,
             self.track_running_stats,
             dropout_freeze_eval=self.dropout_freeze_eval,
+            dtype=self.dtype,
         )(x, train=train, component=component)
+        # head matmul is a rounding error of the flops: keep it fp32
+        h = h.astype(jnp.float32)
         head = make_dense(self.head_kind, self.classes, components=self.components)
         return call_layer(head, h, train, component)

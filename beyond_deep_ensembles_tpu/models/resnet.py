@@ -193,6 +193,7 @@ class Bottleneck(nn.Module):
     components: int = 1
     torchvision: bool = False
     dropout_freeze_eval: bool = True
+    dtype: jnp.dtype = jnp.float32
     norm_bound: float = 6.0  # spectral conv_kind only
 
     @nn.compact
@@ -209,7 +210,9 @@ class Bottleneck(nn.Module):
             return h
 
         def conv(h, features, kernel, stride, padding, use_bias=True):
-            kw = {"norm_bound": self.norm_bound} if self.conv_kind == "spectral" else {}
+            kw = {"dtype": self.dtype} if self.conv_kind in ("plain", "bbb") else {}
+            if self.conv_kind == "spectral":
+                kw["norm_bound"] = self.norm_bound
             layer = make_conv(
                 self.conv_kind,
                 features,
@@ -415,7 +418,9 @@ class ResNet18(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
-        kw = {"norm_bound": self.norm_bound} if self.conv_kind == "spectral" else {}
+        kw = {"dtype": self.dtype} if self.conv_kind in ("plain", "bbb") else {}
+        if self.conv_kind == "spectral":
+            kw["norm_bound"] = self.norm_bound
         stem = make_conv(
             self.conv_kind, 64, (3, 3), strides=1, padding=1, components=self.components, **kw
         )
@@ -434,6 +439,7 @@ class ResNet18(nn.Module):
                 self.dropout_p,
                 self.conv_kind,
                 self.components,
+                dtype=self.dtype,
                 norm_bound=self.norm_bound,
             )(h, train=train, component=component)
 
@@ -466,7 +472,9 @@ class ResNet50(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
-        kw = {"norm_bound": self.norm_bound} if self.conv_kind == "spectral" else {}
+        kw = {"dtype": self.dtype} if self.conv_kind in ("plain", "bbb") else {}
+        if self.conv_kind == "spectral":
+            kw["norm_bound"] = self.norm_bound
         stem = make_conv(
             self.conv_kind,
             64,
@@ -501,6 +509,7 @@ class ResNet50(nn.Module):
                     self.components,
                     torchvision=self.torchvision,
                     dropout_freeze_eval=self.dropout_freeze_eval,
+                    dtype=self.dtype,
                 )(h, train=train, component=component)
 
         h = jnp.mean(h, axis=(1, 2))

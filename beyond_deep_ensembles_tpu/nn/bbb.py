@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from .base import sow_kl
+from .convops import conv2d
 from .gaussian import blundell_mean_init, eval_noise, gaussian_param, gaussian_sample
 
 VAR_CLAMP = 1e-4
@@ -137,12 +138,13 @@ class BBBConv(nn.Module):
         acc_t = jnp.float32 if self.dtype == jnp.float32 else self.dtype
 
         def conv(lhs, rhs):
-            return jax.lax.conv_general_dilated(
+            # conv2d lowers 1x1 kernels to dot_general (nn/convops.py:
+            # XLA SPMD member-sharding miscompile workaround + MXU path)
+            return conv2d(
                 lhs,
                 rhs.astype(self.dtype),
-                window_strides=strides,
-                padding=padding,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                strides,
+                padding,
                 preferred_element_type=acc_t,
             ).astype(acc_t)
 

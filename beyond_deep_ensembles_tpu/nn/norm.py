@@ -26,7 +26,11 @@ class StaticBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.mean(jnp.square(x), axis=axes) - mean**2
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+        # Statistics in fp32 even under bf16 compute: E[x^2]-E[x]^2 in
+        # bf16 catastrophically cancels. Output returns to x.dtype so the
+        # surrounding convs stay on the bf16 MXU path.
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.mean(jnp.square(xf), axis=axes) - mean**2
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)

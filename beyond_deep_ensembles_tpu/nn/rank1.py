@@ -24,6 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .convops import conv2d
 from .gaussian import gaussian_param, sign_mean_init
 
 
@@ -117,12 +118,13 @@ class Rank1Conv(nn.Module):
         padding = (
             [(self.padding, self.padding)] * 2 if isinstance(self.padding, int) else self.padding
         )
-        out = jax.lax.conv_general_dilated(
+        # conv2d lowers 1x1 kernels to dot_general (nn/convops.py: XLA
+        # SPMD member-sharding miscompile workaround + MXU path)
+        out = conv2d(
             (x * s).astype(self.dtype),
             kernel.astype(self.dtype),
-            window_strides=strides,
-            padding=padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            strides,
+            padding,
             preferred_element_type=jnp.float32,
         )
         out = out * r

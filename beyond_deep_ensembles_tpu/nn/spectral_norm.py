@@ -21,6 +21,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .convops import conv2d
+
 COLLECTION = "spectral_norm"
 
 
@@ -115,13 +117,9 @@ class SpectralNormConv(nn.Module):
         padding = (
             [(self.padding, self.padding)] * 2 if isinstance(self.padding, int) else self.padding
         )
-        out = jax.lax.conv_general_dilated(
-            x,
-            kernel * scale,
-            window_strides=strides,
-            padding=padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        # conv2d lowers 1x1 kernels to dot_general (nn/convops.py: XLA
+        # SPMD member-sharding miscompile workaround + MXU path)
+        out = conv2d(x, kernel * scale, strides, padding)
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros, (self.features,))
         return out
