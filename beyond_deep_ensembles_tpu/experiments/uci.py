@@ -249,11 +249,33 @@ def train(
     log: Optional[Callable[[str], None]] = None,
 ):
     """Epoch loop with one jitted update per minibatch
-    (reference uci.py:82-125)."""
+    (reference uci.py:82-125).
+
+    Multi-chip: ``data_parallel: true`` shards batches over the data
+    axis of a (member, data) mesh and ensemble members / SVGD particles
+    over the member axis (parallel/pipelines.py ParallelTrainer) — the
+    same story the CIFAR and WILDS engines wire, replacing the
+    reference's pmap+psum (bnn_hmc/utils/train_utils.py:119-164)."""
     method, state = built.method, built.state
+    trainer = None
+    if config.get("data_parallel") and jax.device_count() > 1:
+        from ..parallel.pipelines import ParallelTrainer
+
+        n_members = (
+            config.get("svgd_particles", 1)
+            if config.get("model") == "svgd"
+            else config.get("members", 1)
+        )
+        mp = (
+            n_members
+            if n_members > 1 and jax.device_count() % n_members == 0
+            else 1
+        )
+        trainer = ParallelTrainer(method, n_members=n_members, member_parallel=mp)
+        state = trainer.place_state(state)
     update = jax.jit(method.update)
     scan_steps = config.get("scan_steps", 1)
-    if scan_steps > 1:
+    if scan_steps > 1 and trainer is None:
         from ..parallel.multistep import make_multi_step, stack_batches
 
         multi = make_multi_step(method.update, scan_steps)
@@ -266,7 +288,7 @@ def train(
         for xb, yb in batch_iter(x, y, config["batch_size"], rng):
             step += 1
             batch = (jnp.asarray(xb), jnp.asarray(yb))
-            if scan_steps > 1:
+            if scan_steps > 1 and trainer is None:
                 pending.append(batch)
                 if len(pending) == scan_steps:
                     state, metrics = multi(
@@ -276,7 +298,10 @@ def train(
                     epoch_loss += float(metrics["loss"]) * scan_steps
                     batches += scan_steps
                 continue
-            state, metrics = update(state, jax.random.fold_in(key, step), batch)
+            if trainer is not None:
+                state, metrics = trainer.step(state, jax.random.fold_in(key, step), batch)
+            else:
+                state, metrics = update(state, jax.random.fold_in(key, step), batch)
             epoch_loss += float(metrics["loss"])
             batches += 1
         for batch in pending:  # leftover < scan_steps
@@ -284,7 +309,10 @@ def train(
             state, metrics = update(state, jax.random.fold_in(key, step), batch)
             epoch_loss += float(metrics["loss"])
             batches += 1
-        state = method.finalize_epoch(state)
+        if trainer is not None:
+            state = trainer.finalize_epoch(state)
+        else:
+            state = method.finalize_epoch(state)
         if log and epoch % 10 == 0:
             log(f"epoch {epoch}: train loss {epoch_loss / max(batches, 1):.5f}")
     built.state = state

@@ -101,10 +101,24 @@ def _bert_config(config: dict) -> DistilBertConfig:
     return TINY_CONFIG if config.get("tiny") else DistilBertConfig()
 
 
+def _compute_dtype(config: dict):
+    """TPU compute dtype: the reference trains its big backbones under
+    torch AMP fp16 + GradScaler (algo.py:44-80); the TPU-native policy is
+    bf16 compute with fp32 parameters and no scaler (SURVEY.md §7 "bf16
+    policy"). Opt in with config compute_dtype: bf16 — parity tests and
+    small models default to fp32."""
+    return (
+        jnp.bfloat16
+        if config.get("compute_dtype", "fp32") in ("bf16", "bfloat16")
+        else None
+    )
+
+
 def _make_backbone(task: str, config: dict, kind: str, dropout_p=None, head_kind=None) -> Model:
     tiny = config.get("tiny", False)
     spec = wilds_data.TASKS[task]
     components = config.get("rank1_components", 1)
+    dtype = _compute_dtype(config)
     if task in ("camelyon17", "fmow"):
         return Model(
             DenseNetClassifier(
@@ -123,6 +137,7 @@ def _make_backbone(task: str, config: dict, kind: str, dropout_p=None, head_kind
                 # protocol uses proper rescaled eval dropout
                 # (fmow/models.py:73 freeze_on_eval=False)
                 dropout_freeze_eval=task == "camelyon17",
+                dtype=dtype,
             )
         )
     if task in ("iwildcam", "rxrx1"):
@@ -142,6 +157,7 @@ def _make_backbone(task: str, config: dict, kind: str, dropout_p=None, head_kind
                 # reference MCD on these tasks: rescaled per-example eval
                 # dropout (iwildcam/models.py:75 freeze_on_eval=False)
                 dropout_freeze_eval=False,
+                dtype=dtype or jnp.float32,
             )
         )
     if task == "poverty":
@@ -155,6 +171,7 @@ def _make_backbone(task: str, config: dict, kind: str, dropout_p=None, head_kind
                     conv_kind=kind,
                     components=components,
                     dropout_p=dropout_p,
+                    dtype=dtype or jnp.float32,
                 )(x, train=train, component=component)
                 # reference poverty config keys init_std/learn_var
                 # (poverty/models.py:47 GaussLayer(init_std, learn_var))
@@ -181,6 +198,7 @@ def _make_backbone(task: str, config: dict, kind: str, dropout_p=None, head_kind
                 mc_encoder_dropout=(
                     head == "drop" and not config.get("last_layer_mcd", False)
                 ),
+                dtype=dtype,
             )
         )
     raise ValueError(f"unknown task {task!r}")
@@ -573,22 +591,92 @@ def _make_sngp(task: str, config: dict) -> Model:
     return Model(ImageSNGP())
 
 
+def _n_members_of(config: dict) -> int:
+    """Leading member/particle axis of the built state (1 = none)."""
+    if config.get("model") == "svgd":
+        return config.get("svgd_particles", 1)
+    return config.get("members", 1)
+
+
 def train(built: BuiltExperiment, config: dict, x, y, log=None, epoch_callback=None):
     """epoch_callback(epoch, built) runs after finalize_epoch — the
     reference's eval_while_train periodic validation hook
-    (camelyon.py:138-146); combine with utils.early_stopping."""
+    (camelyon.py:138-146); combine with utils.early_stopping.
+
+    Multi-chip: ``data_parallel: true`` places the state on a
+    (member, data) mesh via ParallelTrainer — batches shard over the
+    data axis (XLA all-reduces gradients over ICI), ensemble members /
+    SVGD particles shard over the member axis. This replaces the
+    reference's pmap+psum data parallelism (the JAX subtree's only
+    multi-device path, bnn_hmc/utils/train_utils.py:119-164) on the
+    WILDS engine; single-device runs take the plain path.
+
+    ``device_data: true`` uploads the (subsampled) train set to HBM once
+    and folds each epoch into ONE jitted scan (make_epoch_runner) — the
+    per-minibatch host dispatch (~30 ms RTT on the tunneled backend)
+    disappears. Use when the task data fits HBM (the text tasks: amazon
+    245k x 512 x 2 int32 ~= 1 GB; any subsampled run); image tasks at
+    full scale keep the prefetching host loop with scan_steps chunking."""
     method, state = built.method, built.state
+    trainer = None
+    if config.get("data_parallel") and jax.device_count() > 1:
+        from ..parallel.pipelines import ParallelTrainer
+
+        n_members = _n_members_of(config)
+        mp = (
+            n_members
+            if n_members > 1 and jax.device_count() % n_members == 0
+            else 1
+        )
+        trainer = ParallelTrainer(method, n_members=n_members, member_parallel=mp)
+        state = trainer.place_state(state)
     update = jax.jit(method.update)
+
+    key = jax.random.key(config["seed"])
+    ckpt_dir = config.get("checkpoint_dir")
+
+    if config.get("device_data") and trainer is None:
+        from ..parallel.multistep import make_epoch_runner
+
+        data_dev = (jnp.asarray(x), jnp.asarray(y))
+        epoch_runner = make_epoch_runner(
+            method.update, x.shape[0], config["batch_size"]
+        )
+        start_epoch = 0
+        if ckpt_dir:
+            from ..utils import checkpoint as _ckpt
+
+            state, resumed = _ckpt.restore_checkpoint(ckpt_dir, state)
+            if resumed is not None:
+                start_epoch = resumed + 1
+        for epoch in range(start_epoch, config["epochs"]):
+            state, metrics = epoch_runner(
+                state, jax.random.fold_in(key, epoch), data_dev
+            )
+            epoch_loss = float(metrics["loss"])
+            if not np.isfinite(epoch_loss):
+                raise RuntimeError("Diverged")  # reference civil.py:156-160
+            state = method.finalize_epoch(state)
+            built.state = state
+            if ckpt_dir and (epoch + 1) % config.get("checkpoint_interval", 20) == 0:
+                from ..utils import checkpoint as _ckpt
+
+                _ckpt.save_checkpoint(ckpt_dir, epoch, state)
+            if log:
+                log(f"epoch {epoch}: loss {epoch_loss:.4f}")
+            if epoch_callback is not None:
+                epoch_callback(epoch, built)
+        built.state = state
+        return built
+
     scan_steps = config.get("scan_steps", 1)
-    if scan_steps > 1:
+    if scan_steps > 1 and trainer is None:
         from ..parallel.multistep import make_multi_step, stack_batches
 
         multi = make_multi_step(method.update, scan_steps)
-    key = jax.random.key(config["seed"])
     loader = PrefetchLoader((x, y), config["batch_size"], seed=config["seed"])
     # Periodic checkpoints + preemption-safe auto-resume (reference saves
     # every 20 epochs, camelyon.py:134; resume via use_checkpoint config).
-    ckpt_dir = config.get("checkpoint_dir")
     start_epoch = 0
     if ckpt_dir:
         from ..utils import checkpoint as _ckpt
@@ -605,7 +693,7 @@ def train(built: BuiltExperiment, config: dict, x, y, log=None, epoch_callback=N
         for xb, yb in loader.epoch(epoch):
             step += 1
             batch = (jnp.asarray(xb), jnp.asarray(yb))
-            if scan_steps > 1:
+            if scan_steps > 1 and trainer is None:
                 pending.append(batch)
                 if len(pending) == scan_steps:
                     state, metrics = multi(
@@ -614,7 +702,10 @@ def train(built: BuiltExperiment, config: dict, x, y, log=None, epoch_callback=N
                     pending = []
                     losses.append(metrics["loss"])
                 continue
-            state, metrics = update(state, jax.random.fold_in(key, step), batch)
+            if trainer is not None:
+                state, metrics = trainer.step(state, jax.random.fold_in(key, step), batch)
+            else:
+                state, metrics = update(state, jax.random.fold_in(key, step), batch)
             losses.append(metrics["loss"])
         for batch in pending:  # leftover < scan_steps
             step += 1
@@ -623,7 +714,10 @@ def train(built: BuiltExperiment, config: dict, x, y, log=None, epoch_callback=N
         epoch_loss = float(jnp.mean(jnp.stack(losses)))
         if not np.isfinite(epoch_loss):
             raise RuntimeError("Diverged")  # reference civil.py:156-160
-        state = method.finalize_epoch(state)
+        if trainer is not None:
+            state = trainer.finalize_epoch(state)
+        else:
+            state = method.finalize_epoch(state)
         built.state = state
         if ckpt_dir and (epoch + 1) % config.get("checkpoint_interval", 20) == 0:
             _ckpt.save_checkpoint(ckpt_dir, epoch, state)
@@ -636,30 +730,67 @@ def train(built: BuiltExperiment, config: dict, x, y, log=None, epoch_callback=N
 
 
 def eval_task(built: BuiltExperiment, task: str, config: dict, x, y, meta, seed=42):
-    """Posterior-predictive eval + the task's official WILDS metrics."""
+    """Posterior-predictive eval + the task's official WILDS metrics.
+
+    On accelerator backends the whole test set is staged in HBM and the
+    posterior-predictive sweep runs as ONE jitted scan
+    (parallel/multistep.py make_eval_runner) — one dispatch instead of
+    one ~30 ms tunnel round trip per batch. The host loop below is the
+    semantics-defining fallback (same fold_in(key, batch) streams, same
+    edge-replication padding), used on CPU and for test sets too large
+    to stage (> ~2 GB)."""
     spec = wilds_data.TASKS[task]
     bs = config["eval_batch_size"]
-
-    @jax.jit
-    def predict_batch(state, xb, key):
-        return predict(
-            built.method, state, built.apply_fn, xb,
-            n_samples=config["eval_samples"], key=key,
-        )
-
     key = jax.random.key(seed)
-    outs, targets = [], []
-    # Pad the final partial batch, trim after: every point evaluated once.
-    for i, start in enumerate(range(0, x.shape[0], bs)):
-        xb = x[start : start + bs]
-        valid = xb.shape[0]
-        if valid < bs:
-            xb = np.concatenate([xb, np.repeat(xb[-1:], bs - valid, axis=0)])
-        samples = predict_batch(built.state, jnp.asarray(xb), jax.random.fold_in(key, i))
-        outs.append(np.asarray(samples)[:, :valid])
-        targets.append(y[start : start + valid])
-    outputs = np.concatenate(outs, axis=1)  # [S, N, ...]
-    targets = np.concatenate(targets)
+
+    device_eval = config.get(
+        "device_eval",
+        (bool(config.get("device_data")) or jax.default_backend() != "cpu")
+        and x.nbytes <= 2 << 30,
+    )
+    if device_eval:
+        from ..parallel.multistep import make_eval_runner
+
+        def predict_one(state, k, xb):
+            samples = predict(
+                built.method, state, built.apply_fn, xb,
+                n_samples=config["eval_samples"], key=k,
+            )  # [S, bs, ...]
+            return jnp.swapaxes(samples, 0, 1)  # runner wants batch leading
+
+        # cache the jitted whole-test-set runner per shape (eval_while_train
+        # calls this every epoch with identical shapes; a fresh closure
+        # would recompile the big scan each time)
+        cache = getattr(built, "_eval_runners", None)
+        if cache is None:
+            cache = {}
+            built._eval_runners = cache
+        cache_key = (x.shape, bs, config["eval_samples"])
+        if cache_key not in cache:
+            cache[cache_key] = make_eval_runner(predict_one, x.shape[0], bs)
+        out = cache[cache_key](built.state, key, jnp.asarray(x))  # [N, S, ...]
+        outputs = np.moveaxis(np.asarray(out), 1, 0)  # [S, N, ...]
+        targets = np.asarray(y)
+    else:
+        @jax.jit
+        def predict_batch(state, xb, key):
+            return predict(
+                built.method, state, built.apply_fn, xb,
+                n_samples=config["eval_samples"], key=key,
+            )
+
+        outs, targets = [], []
+        # Pad the final partial batch, trim after: every point evaluated once.
+        for i, start in enumerate(range(0, x.shape[0], bs)):
+            xb = x[start : start + bs]
+            valid = xb.shape[0]
+            if valid < bs:
+                xb = np.concatenate([xb, np.repeat(xb[-1:], bs - valid, axis=0)])
+            samples = predict_batch(built.state, jnp.asarray(xb), jax.random.fold_in(key, i))
+            outs.append(np.asarray(samples)[:, :valid])
+            targets.append(y[start : start + valid])
+        outputs = np.concatenate(outs, axis=1)  # [S, N, ...]
+        targets = np.concatenate(targets)
     meta = meta[: targets.shape[0]]
 
     if built.regression:
