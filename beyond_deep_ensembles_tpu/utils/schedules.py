@@ -64,12 +64,15 @@ def cosine_with_warmup(base_lr: float, warmup_steps: int, total_steps: int):
 
 def cyclical_cosine(base_lr: float, cycle_steps: int, burnin_steps: int = 0):
     """Constant during burn-in, then cyclical cosine restarts — the
-    cSG-MCMC schedule (reference bnn_hmc/utils/optim_utils.py:44-68)."""
+    cSG-MCMC schedule, POINTWISE-exact vs the reference
+    (bnn_hmc/utils/optim_utils.py:60-67) including its ``- 1`` phase
+    offset: the first post-burn-in step still runs at ``base_lr`` and the
+    cycle clock starts one step later (verified against the live
+    reference schedule in tests/test_e2e_bnn_hmc_parity.py)."""
 
     def schedule(step):
-        t = jnp.maximum(step - burnin_steps, 0) % cycle_steps
-        factor = 0.5 * (1.0 + jnp.cos(jnp.pi * t / cycle_steps))
-        return jnp.where(step < burnin_steps, base_lr, base_lr * factor)
+        t = jnp.maximum(step - burnin_steps - 1, 0.0) % cycle_steps
+        return 0.5 * base_lr * (1.0 + jnp.cos(jnp.pi * t / cycle_steps))
 
     return schedule
 

@@ -46,7 +46,9 @@ def test_cosine_warmup_and_cyclical():
     g = cyclical_cosine(1.0, cycle_steps=50, burnin_steps=10)
     np.testing.assert_allclose(float(g(5)), 1.0)
     np.testing.assert_allclose(float(g(10)), 1.0)  # cycle start
-    np.testing.assert_allclose(float(g(35)), 0.5, atol=1e-5)  # half cycle
+    # half cycle sits at burnin + 1 + cycle/2 (the reference's -1 phase
+    # offset, optim_utils.py:64)
+    np.testing.assert_allclose(float(g(36)), 0.5, atol=1e-5)
 
     h = constant_with_cosine_burnin(1.0, 0.1, 100)
     np.testing.assert_allclose(float(h(0)), 1.0)

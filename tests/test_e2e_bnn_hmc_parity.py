@@ -68,6 +68,10 @@ if not hasattr(jax, "tree_map"):
     jax.tree_map = jax.tree.map
 if not hasattr(jax, "tree_leaves"):
     jax.tree_leaves = jax.tree.leaves
+if not hasattr(jax, "tree_structure"):
+    jax.tree_structure = jax.tree.structure
+if not hasattr(jax, "tree_unflatten"):
+    jax.tree_unflatten = jax.tree.unflatten
 sys.modules.setdefault("tensorflow_datasets", types.ModuleType("tensorflow_datasets"))
 
 
@@ -189,18 +193,26 @@ def _run_ours(x, y, xte, init_params):
 SGLD_INIT_LR = 3e-4
 SGLD_FINAL_LR = 3e-5
 SGLD_BURNIN = EPOCHS // 2  # full batch: 1 step per epoch
+SGLD_CYCLE = 8  # cyclical-schedule track: cycle length in steps
 
 
-def _run_reference_sgmcmc(x, y, xte, momentum_decay, rmsprop, monkeypatch):
+def _run_reference_sgmcmc(
+    x, y, xte, momentum_decay, rmsprop, monkeypatch, *, zero_noise=True,
+    cyclical=False, n_epochs=EPOCHS,
+):
     """The vendored SGMCMC experiment loop exactly as run_sgmcmc.py
     drives it (run_sgmcmc.py:160-180): sgld_gradient_update with the
-    constant-with-cosine-burnin schedule (run_sgmcmc.py:115-120) inside
-    make_sgd_train_epoch. The ONLY shim: ``normal_like_tree`` is patched
-    to return zeros, removing the Langevin noise — the injected-noise
-    dynamics are step-parity-tested separately
-    (tests/test_reference_parity_bnn_hmc.py); zero noise makes the full
-    LOOP (schedule stepping, momentum, RMSProp preconditioner state,
-    epoch structure) deterministic so trajectories must match exactly."""
+    constant-with-cosine-burnin (or cyclical, run_sgmcmc.py:114-126)
+    schedule inside make_sgd_train_epoch.
+
+    zero_noise=True patches ``normal_like_tree`` to return zeros,
+    removing the Langevin noise so the full LOOP (schedule stepping,
+    momentum, RMSProp preconditioner state, epoch structure) is
+    deterministic and trajectories must match exactly. The injected-noise
+    dynamics themselves are covered by
+    test_e2e_sgmcmc_noise_on_trajectory_parity below, which runs this
+    loop UNPATCHED and transplants the reference's exact noise stream
+    into ours."""
     from bnn_hmc.core import sgmcmc as ref_sgmcmc
     from bnn_hmc.utils import losses as ref_losses
     from bnn_hmc.utils import models as ref_models
@@ -208,20 +220,26 @@ def _run_reference_sgmcmc(x, y, xte, momentum_decay, rmsprop, monkeypatch):
     from bnn_hmc.utils import train_utils as ref_train
     from bnn_hmc.utils import tree_utils as ref_tree_utils
 
-    monkeypatch.setattr(
-        ref_tree_utils,
-        "normal_like_tree",
-        lambda tree, key: (jax.tree.map(jnp.zeros_like, tree), key),
-    )
+    if zero_noise:
+        monkeypatch.setattr(
+            ref_tree_utils,
+            "normal_like_tree",
+            lambda tree, key: (jax.tree.map(jnp.zeros_like, tree), key),
+        )
 
     net_apply, net_init = ref_models.get_model(
         "mlp_classification", {"num_classes": C}, layer_dims=[32, 32]
     )
     ll_fn = ref_losses.make_xent_log_likelihood(1.0)
     prior_fn, _ = ref_losses.make_gaussian_log_prior(WD, 1.0)
-    lr_schedule = ref_optim.make_constant_lr_schedule_with_cosine_burnin(
-        SGLD_INIT_LR, SGLD_FINAL_LR, SGLD_BURNIN
-    )
+    if cyclical:
+        lr_schedule = ref_optim.make_cyclical_cosine_lr_schedule_with_const_burnin(
+            SGLD_INIT_LR, SGLD_BURNIN, SGLD_CYCLE
+        )
+    else:
+        lr_schedule = ref_optim.make_constant_lr_schedule_with_cosine_burnin(
+            SGLD_INIT_LR, SGLD_FINAL_LR, SGLD_BURNIN
+        )
     opt = ref_sgmcmc.sgld_gradient_update(
         lr_schedule,
         seed=5,
@@ -244,7 +262,7 @@ def _run_reference_sgmcmc(x, y, xte, momentum_decay, rmsprop, monkeypatch):
     net_state_p = jax.tree.map(lambda a: a[None], net_state)
     key_p = jax.random.split(jax.random.PRNGKey(3), 1)
 
-    for _ in range(EPOCHS):
+    for _ in range(n_epochs):
         params, net_state_p, opt_state, _, key_p = epoch_fn(
             params, net_state_p, opt_state, train_set, key_p
         )
@@ -260,25 +278,34 @@ def _run_reference_sgmcmc(x, y, xte, momentum_decay, rmsprop, monkeypatch):
     return init_params, final, np.asarray(jax.nn.log_softmax(te_logits))
 
 
-def _run_ours_sgmcmc(x, y, xte, init_params, momentum_decay, rmsprop):
+def _run_ours_sgmcmc(
+    x, y, xte, init_params, momentum_decay, rmsprop, *, temperature=0.0,
+    cyclical=False, n_epochs=EPOCHS,
+):
     from beyond_deep_ensembles_tpu.experiments import bnn_hmc as ours
     from beyond_deep_ensembles_tpu.models.zoo import MLP
     from beyond_deep_ensembles_tpu.nn.base import Model
     from beyond_deep_ensembles_tpu.utils.schedules import (
         constant_with_cosine_burnin,
+        cyclical_cosine,
     )
 
     model = Model(MLP(layer_dims=(32, 32), out_dim=C))
+    if cyclical:
+        step_size = cyclical_cosine(SGLD_INIT_LR, SGLD_CYCLE, SGLD_BURNIN)
+    else:
+        step_size = constant_with_cosine_burnin(
+            SGLD_INIT_LR, SGLD_FINAL_LR, SGLD_BURNIN
+        )
     _, state = ours.run_sgmcmc(
         model,
         (x, y),
-        n_epochs=EPOCHS,
+        n_epochs=n_epochs,
         batch_size=N,  # full batch: batch order is no nuisance
-        step_size=constant_with_cosine_burnin(
-            SGLD_INIT_LR, SGLD_FINAL_LR, SGLD_BURNIN
-        ),
+        step_size=step_size,
         momentum_decay=momentum_decay,
-        temperature=0.0,  # the principled knob for zero Langevin noise
+        # temperature=0 is the principled knob for zero Langevin noise
+        temperature=temperature,
         prior_std=1.0 / math.sqrt(WD),
         preconditioner="rmsprop" if rmsprop else None,
         sample_interval=10_000,
@@ -326,6 +353,223 @@ def test_e2e_sgmcmc_trajectory_parity(momentum_decay, rmsprop, monkeypatch):
     acc_ours = float((np.argmax(our_te, 1) == yte).mean())
     assert acc_ref == acc_ours
     assert acc_ours > 0.45  # chance = 0.25
+
+
+def _reference_noise_stream(params_tree, seed, n_steps):
+    """Replicate the vendored optimizer's exact Langevin noise stream:
+    sgld_gradient_update carries rng_key from PRNGKey(seed)
+    (core/sgmcmc.py:78-82) and each update draws via normal_like_tree
+    (tree_utils.py:70-76: split(key, L+1), leaf i reads key i+1, key 0 is
+    the carry). Threefry is deterministic under jit/pmap, so these
+    host-side draws bit-match what the UNPATCHED loop injects."""
+    leaves, treedef = jax.tree.flatten(params_tree)
+    key = jax.random.PRNGKey(seed)
+    stream = []
+    for _ in range(n_steps):
+        all_keys = jax.random.split(key, len(leaves) + 1)
+        key = all_keys[0]
+        stream.append(
+            jax.tree.unflatten(
+                treedef,
+                [
+                    jax.random.normal(k, jnp.shape(l))
+                    for k, l in zip(all_keys[1:], leaves)
+                ],
+            )
+        )
+    return stream
+
+
+@pytest.mark.parametrize(
+    "momentum_decay,rmsprop,n_steps,atol", [
+        (0.0, False, EPOCHS, 2e-5),
+        # RMSProp's M^{-1} divides the update by (eps + sqrt(E[g^2]))
+        # with E[g^2] ~ 1e-2 g^2 at early steps: few-ulp fp differences
+        # between the two independently compiled fp32 programs (this
+        # host's oneDNN matmuls are not even run-to-run deterministic)
+        # amplify chaotically — measured anywhere from 3e-6 to 3e-3 at
+        # 8-12 steps across runs. The full-loop assert here is therefore
+        # chaos-bounded: 2e-2 still rejects any semantic noise error (a
+        # wrong noise std / missing M^{1/2} shifts params by O(0.1) at
+        # this scale) and the StopIteration check still pins one draw
+        # per step; the TIGHT noise-dynamics pin is
+        # test_sgmcmc_optimizer_noise_dynamics_parity below, which has
+        # no matmuls and is bitwise-stable at atol 1e-6.
+        (0.9, True, 8, 2e-2),
+    ],
+    ids=["sgld_identity", "sghmc_rmsprop"],
+)
+def test_e2e_sgmcmc_noise_on_trajectory_parity(
+    momentum_decay, rmsprop, n_steps, atol, monkeypatch
+):
+    """Langevin noise ON: the vendored loop runs UNPATCHED — real
+    injected noise sqrt(2(1-momentum_decay))*M^{1/2}*eps
+    (core/sgmcmc.py:86-101) — and our run_sgmcmc replays the reference's
+    exact noise stream through tree.normal_like (temperature=1 makes our
+    noise_std formula identical, methods/sgmcmc.py:97). Final parameters
+    and test predictions must agree to float32 accumulation error, which
+    pins the noise magnitude, the M^{1/2} application to the noise, and
+    the momentum/update composition all at once."""
+    from beyond_deep_ensembles_tpu import tree as bde_tree
+
+    x, y, xte, yte = _make_data()
+    init_params, ref_final, ref_te = _run_reference_sgmcmc(
+        x, y, xte, momentum_decay, rmsprop, monkeypatch, zero_noise=False,
+        n_epochs=n_steps,
+    )
+
+    # seed=5 = the sgld_gradient_update seed in _run_reference_sgmcmc
+    stream = [
+        _haiku_mlp_to_flax(n)
+        for n in _reference_noise_stream(init_params, seed=5, n_steps=n_steps)
+    ]
+    # the transplant is real noise, not zeros: every step's draw (~1.7k
+    # standard normals across the tree) has a large global max
+    assert all(
+        max(float(jnp.abs(leaf).max()) for leaf in jax.tree.leaves(n)) > 0.5
+        for n in stream
+    )
+    replay = iter(stream)
+    monkeypatch.setattr(bde_tree, "normal_like", lambda key, t: next(replay))
+    # disable_jit so the replay advances once per actual update call
+    with jax.disable_jit():
+        our_final, our_te = _run_ours_sgmcmc(
+            x, y, xte, init_params, momentum_decay, rmsprop, temperature=1.0,
+            n_epochs=n_steps,
+        )
+    with pytest.raises(StopIteration):
+        next(replay)  # all n_steps draws consumed: noise entered every step
+
+    ref_flax = _haiku_mlp_to_flax(ref_final)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=atol, rtol=0
+        ),
+        ref_flax,
+        our_final,
+    )
+    assert float(np.max(np.abs(our_te - ref_te))) < 10 * atol
+
+
+@pytest.mark.parametrize(
+    "momentum_decay,rmsprop", [(0.0, False), (0.9, True), (0.5, False)],
+    ids=["sgld_identity", "sghmc_rmsprop", "sghmc_identity"],
+)
+def test_sgmcmc_optimizer_noise_dynamics_parity(momentum_decay, rmsprop, monkeypatch):
+    """Noise-ON dynamics pinned at the optimizer level: drive the
+    vendored ``sgld_gradient_update`` (UNPATCHED — it draws real
+    Langevin noise internally, core/sgmcmc.py:86-101) and our ``sgld``
+    transformation with the SAME synthetic gradient stream for 40 steps
+    and compare every update. No network forward/backward means no
+    matmuls — every op is elementwise, so both trajectories are
+    bit-stable and the comparison is tight (atol 1e-6) even where the
+    full-loop test above must stop early. This pins, with noise on:
+    the noise std sqrt(2(1-momentum_decay)), the M^{1/2} application to
+    the noise, the preconditioner update ordering (noise uses the
+    freshly-updated preconditioner state), the momentum composition and
+    the sqrt(lr) scalings on gradient and update."""
+    import jax
+    import jax.numpy as jnp
+
+    from bnn_hmc.core import sgmcmc as ref_sgmcmc
+
+    from beyond_deep_ensembles_tpu import tree as bde_tree
+    from beyond_deep_ensembles_tpu.methods.sgmcmc import (
+        RMSPreconditioner,
+        sgld,
+    )
+    from beyond_deep_ensembles_tpu.utils.schedules import (
+        constant_with_cosine_burnin,
+    )
+
+    n_steps = 40
+    template = {"w": jnp.zeros((16, 32)), "b": jnp.zeros((32,))}
+    rng = np.random.RandomState(7)
+    # gradient stream: varying magnitudes exercise the RMSProp moment
+    grad_stream = [
+        {
+            "w": jnp.asarray(rng.randn(16, 32).astype(np.float32) * s),
+            "b": jnp.asarray(rng.randn(32).astype(np.float32) * s),
+        }
+        for s in (10 ** rng.uniform(-2, 1, size=n_steps))
+    ]
+
+    lr_fn = constant_with_cosine_burnin(SGLD_INIT_LR, SGLD_FINAL_LR, 20)
+    ref_opt = ref_sgmcmc.sgld_gradient_update(
+        lr_fn,
+        seed=5,
+        momentum_decay=momentum_decay,
+        preconditioner=(
+            ref_sgmcmc.get_rmsprop_preconditioner() if rmsprop else None
+        ),
+    )
+    our_opt = sgld(
+        lr_fn,
+        momentum_decay=momentum_decay,
+        temperature=1.0,
+        preconditioner=RMSPreconditioner() if rmsprop else None,
+    )
+
+    stream = _reference_noise_stream(template, seed=5, n_steps=n_steps)
+    replay = iter(stream)
+    monkeypatch.setattr(bde_tree, "normal_like", lambda key, t: next(replay))
+
+    ref_state = ref_opt.init(template)
+    our_state = our_opt.init(template)
+    for t, g in enumerate(grad_stream):
+        # reference convention: ASCENT on log-prob gradients; ours:
+        # DESCENT on potential gradients — same dynamics under g -> -g
+        ref_upd, ref_state = ref_opt.update(g, ref_state)
+        our_upd, our_state = our_opt.update(
+            jax.tree.map(jnp.negative, g), our_state,
+            key=jax.random.key(t),  # consumed by the patched replay
+        )
+        for name in ("w", "b"):
+            np.testing.assert_allclose(
+                np.asarray(ref_upd[name]), np.asarray(our_upd[name]),
+                atol=1e-6, rtol=1e-5, err_msg=f"step {t} {name}",
+            )
+    with pytest.raises(StopIteration):
+        next(replay)
+
+
+def test_e2e_sgmcmc_cyclical_schedule_parity(monkeypatch):
+    """run_sgmcmc with the cSG-MCMC cyclical-cosine schedule vs the
+    vendored loop using make_cyclical_cosine_lr_schedule_with_const_burnin
+    (run_sgmcmc.py:121-126) — the reference's other SGMCMC schedule
+    branch, including its -1 cycle-phase offset (optim_utils.py:64).
+    Noise-free on both sides so the schedule is the only moving part."""
+    from bnn_hmc.utils import optim_utils as ref_optim
+
+    from beyond_deep_ensembles_tpu.utils.schedules import cyclical_cosine
+
+    # pointwise agreement of the schedules themselves, incl. around the
+    # burn-in boundary and across cycle restarts
+    ref_s = ref_optim.make_cyclical_cosine_lr_schedule_with_const_burnin(
+        SGLD_INIT_LR, SGLD_BURNIN, SGLD_CYCLE
+    )
+    our_s = cyclical_cosine(SGLD_INIT_LR, SGLD_CYCLE, SGLD_BURNIN)
+    for step in range(EPOCHS + 5):
+        np.testing.assert_allclose(
+            float(our_s(step)), float(ref_s(step)), rtol=1e-6, err_msg=f"step {step}"
+        )
+
+    x, y, xte, yte = _make_data()
+    init_params, ref_final, ref_te = _run_reference_sgmcmc(
+        x, y, xte, 0.9, True, monkeypatch, cyclical=True
+    )
+    our_final, our_te = _run_ours_sgmcmc(
+        x, y, xte, init_params, 0.9, True, cyclical=True
+    )
+    ref_flax = _haiku_mlp_to_flax(ref_final)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=0
+        ),
+        ref_flax,
+        our_final,
+    )
+    assert float(np.max(np.abs(our_te - ref_te))) < 1e-4
 
 
 def test_e2e_sgd_trajectory_parity():
