@@ -78,6 +78,98 @@ def test_kron_matches_full_on_linear_head():
         np.testing.assert_allclose(vf[moving], vk[moving], rtol=0.25)
 
 
+class PureLinear(nn.Module):
+    """y = x @ W + b, no hidden layer: every Laplace quantity is
+    closed-form (H = [X,1]^T [X,1] / sigma^2 over the parameter vector)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        return nn.Dense(1)(x)
+
+
+def test_marglik_argmax_matches_analytic_root():
+    """Pin the prior-precision sweep (methods/laplace.py marglik grid
+    argmax — the stand-in for laplace-torch's marglik optimization,
+    reference src/algos/laplace_approx.py:35-36) against an analytic
+    optimum. On a pure linear-Gaussian model,
+
+        marglik(pp) = loglik - 0.5*(pp*||theta||^2 + logdet(H + pp I)
+                                    - D log pp)
+        d/dpp = -0.5*(||theta||^2 + tr((H + pp I)^-1) - D/pp)
+
+    is strictly concave in log pp with a unique root computed here
+    independently (float64 numpy bisection on the eigenvalues of
+    X^T X / sigma^2). The grid argmax must land within one grid step
+    (logspace(-4,4,33): factor 10^0.25) of that root — any sign or term
+    error in the marglik formula moves the argmax by orders of
+    magnitude, which this catches while a fixed 'runs and is finite'
+    test would not."""
+    D = 16  # features; +1 bias below
+    rng = np.random.RandomState(3)
+    x64 = rng.randn(256, D)
+    # ||theta||^2 ~= 0.33 puts the optimum near (D+1)/0.39 ~= 44: well
+    # inside the sweep range and away from both grid ends
+    kernel64 = rng.randn(D, 1) * np.sqrt(0.02)
+    bias64 = np.array([0.1])
+    y64 = x64 @ kernel64 + bias64 + rng.randn(256, 1)
+
+    model = Model(PureLinear())
+    x = jnp.asarray(x64.astype(np.float32))
+    y = jnp.asarray(y64.astype(np.float32))
+    _, ms = model.init(jax.random.key(0), x)
+    params = {
+        "Dense_0": {
+            "kernel": jnp.asarray(kernel64.astype(np.float32)),
+            "bias": jnp.asarray(bias64.astype(np.float32)),
+        }
+    }
+
+    def loss_fn(p, s, key, batch):
+        xb, yb = batch
+        pred, kl, new_ms = model.apply(p, s, key, xb, train=True)
+        return LossOutput(loss=jnp.mean((pred - yb) ** 2), kl=kl, model_state=new_ms)
+
+    inner = map_method(loss_fn, optax.sgd(0.0))
+    state = inner.init(jax.random.key(1), params, ms)
+    lap = laplace_method(
+        model, hessian="full", regression=True, sigma_noise=1.0, inner=inner,
+        mean_output=lambda p, s, xx: model.apply(
+            p, s, None, xx, train=False, mutable_state=False)[0],
+    )
+    fitted = lap.fit(state, (x, y))
+
+    # independent float64 root of d marglik / d pp = 0
+    x1 = np.concatenate([x64, np.ones((x64.shape[0], 1))], axis=1)
+    lam = np.linalg.eigvalsh(x1.T @ x1)
+    th2 = float(np.sum(kernel64**2) + np.sum(bias64**2))
+    dtot = D + 1
+
+    def dml(pp):  # strictly increasing in pp
+        return th2 + np.sum(1.0 / (lam + pp)) - dtot / pp
+
+    lo, hi = 1e-6, 1e6
+    assert dml(lo) < 0 < dml(hi)
+    for _ in range(200):
+        mid = np.sqrt(lo * hi)
+        lo, hi = (mid, hi) if dml(mid) < 0 else (lo, mid)
+    pp_analytic = np.sqrt(lo * hi)
+    assert 1e-3 < pp_analytic < 1e3  # interior of the sweep range
+
+    grid_step = 8.0 / 32.0  # log10 spacing of logspace(-4, 4, 33)
+    err = abs(np.log10(float(fitted.prior_prec)) - np.log10(pp_analytic))
+    assert err <= grid_step + 1e-6, (float(fitted.prior_prec), pp_analytic)
+
+    # kron on the same model builds A (x) B == H exactly (single output,
+    # linear map), so its marglik sweep must pick the same grid point
+    lap_k = laplace_method(
+        model, hessian="kron", regression=True, sigma_noise=1.0, inner=inner,
+        mean_output=lambda p, s, xx: model.apply(
+            p, s, None, xx, train=False, mutable_state=False)[0],
+    )
+    fitted_k = lap_k.fit(state, (x, y))
+    assert float(fitted_k.prior_prec) == float(fitted.prior_prec)
+
+
 def test_kron_classification_runs():
     lap, st, (x, y) = _fit("kron", out=3)
     p, _ = lap.sample(st, jax.random.key(3))
