@@ -69,7 +69,13 @@ def hmc_method(
     step_size_adaptation_speed: float = 0.0,
     max_samples: int = 20,
     do_mh_correction: bool = True,
+    ring_dtype=jnp.float32,
+    ring_sharding=None,
 ) -> PosteriorMethod:
+    """ring_dtype / ring_sharding: big-backbone scaling knobs for the
+    [max_samples, D] draw ring — see methods/rings.py."""
+    from . import rings
+
     def log_prior(params):
         return -tree.tree_sq_norm(params) / (2 * prior_std**2)
 
@@ -83,7 +89,8 @@ def hmc_method(
 
     def init(key, params, model_state=None):
         del key
-        flat = tree.ravel(params)
+        # D padded to the sharding axis (rings.py); zeros sliced off on read
+        flat = rings.pad_flat(tree.ravel(params), ring_sharding)
         return HmcState(
             params=params,
             model_state=model_state or {},
@@ -93,7 +100,9 @@ def hmc_method(
             step_size=jnp.float32(step_size),
             log_likelihood=jnp.float32(-jnp.inf),
             grad=tree.tree_zeros_like(params),
-            samples=jnp.zeros((max_samples, flat.shape[0]), jnp.float32),
+            samples=rings.place(
+                jnp.zeros((max_samples, flat.shape[0]), ring_dtype), ring_sharding
+            ),
             n_samples=jnp.int32(0),
             accept_prob=jnp.float32(0.0),
             accepted=jnp.bool_(False),
@@ -140,15 +149,19 @@ def hmc_method(
         grad = tree.tree_where(take, grad1, grad0)
         loglik = jnp.where(take, loglik1, loglik0)
 
-        flat = tree.ravel(params)
-        new_samples = jnp.roll(state.samples, -1, axis=0).at[-1].set(flat)
+        flat = rings.pad_flat(tree.ravel(params), ring_sharding)
+        new_samples = (
+            jnp.roll(state.samples, -1, axis=0).at[-1].set(flat.astype(ring_dtype))
+        )
         new_state = state.replace(
             params=params,
             step=state.step + 1,
             step_size=new_step_size,
             log_likelihood=loglik,
             grad=grad,
-            samples=jnp.where(take, new_samples, state.samples),
+            samples=rings.place(
+                jnp.where(take, new_samples, state.samples), ring_sharding
+            ),
             n_samples=jnp.minimum(state.n_samples + jnp.where(take, 1, 0), max_samples),
             accept_prob=accept_prob,
             accepted=take,
@@ -167,8 +180,11 @@ def hmc_method(
             index = 0
         n = jnp.maximum(state.n_samples, 1)
         slot = max_samples - 1 - (jnp.asarray(index) % n)
+        d = sum(leaf.size for leaf in jax.tree.leaves(state.params))
         flat = jnp.where(
-            state.n_samples > 0, state.samples[slot], tree.ravel(state.params)
+            state.n_samples > 0,
+            rings.load(state.samples[slot])[:d],
+            tree.ravel(state.params),
         )
         return tree.make_unravel(state.params)(flat), state.model_state
 

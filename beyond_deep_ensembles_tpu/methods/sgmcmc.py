@@ -135,24 +135,34 @@ def sgmcmc_method(
     sample_interval: int = 100,
     max_samples: int = 20,
     burn_in_steps: int = 0,
+    ring_dtype=jnp.float32,
+    ring_sharding=None,
 ) -> PosteriorMethod:
     """SGLD/SGHMC as a PosteriorMethod. Every ``sample_interval`` steps
     past ``burn_in_steps`` the current parameters are pushed into an
     on-device ring buffer; prediction cycles those draws (the bnn_hmc
-    runner instead ensembled predictions online, run_sgmcmc.py)."""
+    runner instead ensembled predictions online, run_sgmcmc.py).
+
+    ring_dtype / ring_sharding: big-backbone scaling knobs for the
+    [max_samples, D] draw ring — see methods/rings.py."""
+    from . import rings
+
     pc = RMSPreconditioner() if preconditioner == "rmsprop" else None
     tx = sgld(step_size_fn, momentum_decay, temperature, pc)
 
     def init(key, params, model_state=None):
         del key
-        flat = tree.ravel(params)
+        # D padded to the sharding axis (rings.py); zeros sliced off on read
+        flat = rings.pad_flat(tree.ravel(params), ring_sharding)
         return SgmcmcState(
             params=params,
             model_state=model_state or {},
             opt_state=tx.init(params),
             step=jnp.int32(0),
             epoch=jnp.int32(0),
-            samples=jnp.zeros((max_samples, flat.shape[0]), jnp.float32),
+            samples=rings.place(
+                jnp.zeros((max_samples, flat.shape[0]), ring_dtype), ring_sharding
+            ),
             n_samples=jnp.int32(0),
         )
 
@@ -170,14 +180,18 @@ def sgmcmc_method(
 
         step = state.step + 1
         do_sample = (step > burn_in_steps) & (step % sample_interval == 0)
-        flat = tree.ravel(params)
-        new_samples = jnp.roll(state.samples, -1, axis=0).at[-1].set(flat)
+        flat = rings.pad_flat(tree.ravel(params), ring_sharding)
+        new_samples = (
+            jnp.roll(state.samples, -1, axis=0).at[-1].set(flat.astype(ring_dtype))
+        )
         new_state = state.replace(
             params=params,
             model_state=out.model_state or state.model_state,
             opt_state=opt_state,
             step=step,
-            samples=jnp.where(do_sample, new_samples, state.samples),
+            samples=rings.place(
+                jnp.where(do_sample, new_samples, state.samples), ring_sharding
+            ),
             n_samples=jnp.minimum(
                 state.n_samples + jnp.where(do_sample, 1, 0), max_samples
             ),
@@ -189,8 +203,11 @@ def sgmcmc_method(
             index = 0
         n = jnp.maximum(state.n_samples, 1)
         slot = max_samples - 1 - (jnp.asarray(index) % n)
+        d = sum(leaf.size for leaf in jax.tree.leaves(state.params))
         flat = jnp.where(
-            state.n_samples > 0, state.samples[slot], tree.ravel(state.params)
+            state.n_samples > 0,
+            rings.load(state.samples[slot])[:d],
+            tree.ravel(state.params),
         )
         params = tree.make_unravel(state.params)(flat)
         return params, state.model_state

@@ -42,21 +42,31 @@ def swag_method(
     update_interval: int,
     start_epoch: int = 0,
     deviation_samples: int = 30,
+    ring_dtype=jnp.float32,
+    ring_sharding=None,
 ) -> PosteriorMethod:
+    """ring_dtype / ring_sharding: big-backbone scaling knobs for the
+    [K, D] deviation ring and [D] moment vectors — see methods/rings.py."""
     update_interval = int(math.floor(update_interval))
+    from . import rings
 
     def init(key, params, model_state=None):
         del key
-        flat = ravel(params)
+        # flat vectors pad D to a multiple of the sharding axis (zeros;
+        # sliced off at unravel) so GSPMD can split them evenly
+        flat = rings.pad_flat(ravel(params), ring_sharding)
         return SwagState(
             params=params,
             model_state=model_state or {},
             opt_state=tx.init(params),
             step=jnp.int32(0),
             epoch=jnp.int32(0),
-            mean=flat,
-            sq_mean=flat**2,
-            deviations=jnp.zeros((deviation_samples, flat.shape[0]), jnp.float32),
+            mean=rings.place(flat, ring_sharding),
+            sq_mean=rings.place(flat**2, ring_sharding),
+            deviations=rings.place(
+                jnp.zeros((deviation_samples, flat.shape[0]), ring_dtype),
+                ring_sharding,
+            ),
             updates=jnp.int32(0),
             steps_since_start=jnp.int32(0),
         )
@@ -80,11 +90,15 @@ def swag_method(
         # the INIT-time parameter vector — i.e. the init point counts as
         # one collected sample. Matched exactly (verified by
         # tests/test_reference_parity.py against the live reference).
-        flat = ravel(params)
+        flat = rings.pad_flat(ravel(params), ring_sharding)
         n = state.updates + 1
         new_mean = (n * state.mean + flat) / (n + 1)
         new_sq = (n * state.sq_mean + flat**2) / (n + 1)
-        new_dev = jnp.roll(state.deviations, -1, axis=0).at[-1].set(flat - new_mean)
+        new_dev = (
+            jnp.roll(state.deviations, -1, axis=0)
+            .at[-1]
+            .set((flat - new_mean).astype(ring_dtype))
+        )
 
         new_state = state.replace(
             params=params,
@@ -92,9 +106,13 @@ def swag_method(
             opt_state=opt_state,
             step=state.step + 1,
             steps_since_start=steps_since,
-            mean=jnp.where(do_update, new_mean, state.mean),
-            sq_mean=jnp.where(do_update, new_sq, state.sq_mean),
-            deviations=jnp.where(do_update, new_dev, state.deviations),
+            mean=rings.place(jnp.where(do_update, new_mean, state.mean), ring_sharding),
+            sq_mean=rings.place(
+                jnp.where(do_update, new_sq, state.sq_mean), ring_sharding
+            ),
+            deviations=rings.place(
+                jnp.where(do_update, new_dev, state.deviations), ring_sharding
+            ),
             updates=state.updates + jnp.where(do_update, 1, 0),
         )
         return new_state, {"loss": loss, **out.metrics}
@@ -110,12 +128,17 @@ def swag_method(
         diag = 0.5 * (jax.nn.relu(state.sq_mean - state.mean**2) + 1e-6)
         z1 = jax.random.normal(k1, (deviation_samples,))
         z2 = jax.random.normal(k2, state.mean.shape)
+        # fp32 accumulation regardless of ring storage dtype
+        low_rank = jnp.einsum(
+            "k,kd->d", z1, state.deviations, preferred_element_type=jnp.float32
+        )
         flat = (
             state.mean
-            + (z1 @ state.deviations) / math.sqrt(2 * (deviation_samples - 1))
+            + low_rank / math.sqrt(2 * (deviation_samples - 1))
             + jnp.sqrt(diag) * z2
         )
-        params = make_unravel(state.params)(flat)
+        d = sum(leaf.size for leaf in jax.tree.leaves(state.params))
+        params = make_unravel(state.params)(flat[:d])
         from .api import non_mle_mask
 
         mask = non_mle_mask(state.params)
