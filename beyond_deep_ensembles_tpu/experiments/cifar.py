@@ -149,8 +149,12 @@ def _xent_loss_fn(model: Model, augment: bool = True):
 
 
 def _predict_fn(model: Model):
-    def apply_fn(params, model_state, key, x, n_samples=None):
+    def apply_fn(params, model_state, key, x, n_samples=None, component=None):
         kwargs = {} if n_samples is None else {"n_samples": n_samples}
+        if component is not None:
+            # rank-1 mixtures: one JOINT component per posterior sample
+            # (see methods/ensemble.py predict components doc)
+            kwargs["component"] = component
         out, _, _ = model.apply(params, model_state, key, x, train=False, **kwargs)
         return jax.nn.log_softmax(out, axis=-1)
 
@@ -467,6 +471,11 @@ def eval_model(
     method, state = built.method, built.state
     bs = config["eval_batch_size"]
     outs, targets = [], []
+    # rank-1 mixtures: posterior sample i evaluates joint component
+    # i % components (reference rank1.py per-layer counters in lockstep)
+    components = (
+        config.get("rank1_components", 1) if config.get("model") == "rank1" else 1
+    )
 
     key = jax.random.key(seed)
     n = x.shape[0]
@@ -488,7 +497,7 @@ def eval_model(
         def predict_one(state, k, xb):
             log_probs = predict(
                 method, state, built.apply_fn, xb,
-                n_samples=config["eval_samples"], key=k,
+                n_samples=config["eval_samples"], key=k, components=components,
             )
             return bayesian_model_average(log_probs)
 
@@ -520,7 +529,8 @@ def eval_model(
     @jax.jit
     def predict_batch(state, xb, key):
         return predict(
-            method, state, built.apply_fn, xb, n_samples=config["eval_samples"], key=key
+            method, state, built.apply_fn, xb,
+            n_samples=config["eval_samples"], key=key, components=components,
         )
     # Pad the final partial batch (static shapes for jit) and trim after —
     # every test point is evaluated exactly once (reference evaluates the

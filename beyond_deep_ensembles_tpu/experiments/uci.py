@@ -105,8 +105,9 @@ def _loss_fn_for(model: Model):
 
 
 def _apply_fn_for(model: Model):
-    def apply_fn(params, model_state, key, x):
-        out, _, _ = model.apply(params, model_state, key, x, train=False)
+    def apply_fn(params, model_state, key, x, component=None):
+        kwargs = {} if component is None else {"component": component}
+        out, _, _ = model.apply(params, model_state, key, x, train=False, **kwargs)
         return out
 
     return apply_fn
@@ -336,6 +337,10 @@ def evaluate(
         jnp.asarray(x),
         n_samples=config["eval_samples"],
         key=jax.random.key(seed),
+        # rank-1 mixtures: sample i evaluates joint component i % C
+        components=(
+            config.get("components", 1) if config.get("model") == "rank1" else 1
+        ),
     )
     return RegressionResults.create(
         outputs,

@@ -222,8 +222,12 @@ def _loss_fn_for(model: Model, regression: bool):
 
 
 def _predict_fn(model: Model, regression: bool):
-    def apply_fn(params, model_state, key, x, n_samples=None):
+    def apply_fn(params, model_state, key, x, n_samples=None, component=None):
         kwargs = {} if n_samples is None else {"n_samples": n_samples}
+        if component is not None:
+            # rank-1 mixtures: one JOINT component per posterior sample
+            # (see methods/ensemble.py predict components doc)
+            kwargs["component"] = component
         out, _, _ = model.apply(params, model_state, key, x, train=False, **kwargs)
         if regression:
             return out
@@ -742,6 +746,11 @@ def eval_task(built: BuiltExperiment, task: str, config: dict, x, y, meta, seed=
     spec = wilds_data.TASKS[task]
     bs = config["eval_batch_size"]
     key = jax.random.key(seed)
+    # rank-1 mixtures: posterior sample i evaluates joint component
+    # i % components (reference rank1.py per-layer counters in lockstep)
+    components = (
+        config.get("rank1_components", 1) if config.get("model") == "rank1" else 1
+    )
 
     device_eval = config.get(
         "device_eval",
@@ -754,7 +763,7 @@ def eval_task(built: BuiltExperiment, task: str, config: dict, x, y, meta, seed=
         def predict_one(state, k, xb):
             samples = predict(
                 built.method, state, built.apply_fn, xb,
-                n_samples=config["eval_samples"], key=k,
+                n_samples=config["eval_samples"], key=k, components=components,
             )  # [S, bs, ...]
             return jnp.swapaxes(samples, 0, 1)  # runner wants batch leading
 
@@ -776,7 +785,7 @@ def eval_task(built: BuiltExperiment, task: str, config: dict, x, y, meta, seed=
         def predict_batch(state, xb, key):
             return predict(
                 built.method, state, built.apply_fn, xb,
-                n_samples=config["eval_samples"], key=key,
+                n_samples=config["eval_samples"], key=key, components=components,
             )
 
         outs, targets = [], []

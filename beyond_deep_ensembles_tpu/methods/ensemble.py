@@ -70,6 +70,7 @@ def predict(
     n_samples: int,
     key: jax.Array,
     chunk_size: Optional[int] = None,
+    components: int = 1,
 ):
     """Posterior-predictive sampling (reference DeepEnsemble.predict,
     ensemble.py:28-44): draw parameters per sample, run the model, stack.
@@ -80,6 +81,17 @@ def predict(
     chunk_size bounds how many parameter copies are alive at once for
     methods that materialize sampled parameters (SWAG); ``None`` vmaps
     all samples.
+
+    components > 1 (rank-1 VI mixtures): posterior sample i evaluates
+    mixture component ``i % components``, passed to apply_fn as an
+    explicit ``component`` so EVERY rank-1 layer uses the SAME component
+    in a given forward. The reference gets this alignment implicitly:
+    each layer advances its own ``component_counter`` once per forward
+    (rank1.py:63,125), so counters initialized together stay in lockstep
+    and eval cycles joint configurations. Resolving components
+    independently per layer evaluates cross-component mixtures that were
+    never trained (measured: camelyon tiny-DenseNet rank1 drops from
+    0.83 to 0.57 accuracy).
     """
     if method.multisample:
         # One forward producing all S samples (reference ensemble.py:34-35
@@ -99,12 +111,20 @@ def predict(
 
     if method.sample_is_identity:
         params, model_state = method.sample(state, keys[0], 0)
+        if components > 1:
+            # rank-1 trains under the BBB method (sample-in-forward):
+            # this is the branch mixture components actually go through
+            return jax.vmap(
+                lambda k, i: apply_fn(params, model_state, k, x, component=i % components)
+            )(keys, idx)
         return jax.vmap(lambda k: apply_fn(params, model_state, k, x))(keys)
 
     def one(args):
         k, i = args
         k_sample, k_apply = jax.random.split(k)
         params, model_state = method.sample(state, k_sample, i)
+        if components > 1:
+            return apply_fn(params, model_state, k_apply, x, component=i % components)
         return apply_fn(params, model_state, k_apply, x)
 
     if chunk_size is None:

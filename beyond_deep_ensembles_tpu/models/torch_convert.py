@@ -82,6 +82,15 @@ def _match_order(flax_params, flat):
 
 _FRN_NAMES = ("tau", "beta", "gamma")
 
+# Reference Rank1Linear/Rank1Conv2D (src/algos/rank1.py:20-24,76-81) keep
+# the per-component multiplicative factors as ModuleLists of
+# GaussianParameters — state_dict keys ``<layer>.s.<i>.mean`` /
+# ``<layer>.r.<i>.mean``. Our Rank1Dense/Rank1Conv stack the components on
+# a leading axis (nn/rank1.py): ``s__gmean``/``r__gmean`` of shape
+# [components, dim]. The converter stacks the torch components in index
+# order into one array per factor.
+_RANK1_FACTOR_RE = re.compile(r"^(.*\.[sr])\.(\d+)\.mean$")
+
 
 def _leaf_kind(path, leaf) -> str:
     name = str(getattr(path[-1], "key", getattr(path[-1], "name", str(path[-1]))))
@@ -91,6 +100,12 @@ def _leaf_kind(path, leaf) -> str:
     # bbb_layers.py:278-300 make_module_bbb).
     if name.endswith(("__grho", "__mle", "_rho")) or name == "rho":
         return "skip"
+    # Rank-1 factor means: [components, dim] stacks (nn/rank1.py)
+    if name in ("s__gmean", "r__gmean"):
+        return "factor"
+    # Rank-1 per-component bias [components, out] (nn/rank1.py bias param)
+    if name == "bias" and leaf.ndim == 2:
+        return "cbias"
     # FRN leaves get their own name buckets: dozens of identically-shaped
     # (C,) tau/beta/gamma would otherwise cross-assign under greedy shape
     # matching (the bug class of PARITY delta #11).
@@ -127,6 +142,11 @@ def _torch_kind(key: str, arr: np.ndarray):
     # pollute the scale/bias buckets and cross-assign real parameters.
     if base in ("_u", "_v"):
         return None
+    # Rank-1 per-component bias (rank1.py:28,86: nn.Parameter of shape
+    # [components, out]) — the only 2-d ``.bias`` in the reference; kept
+    # untransposed, matched against our [components, out] leaf
+    if base == "bias" and arr.ndim == 2:
+        return "cbias"
     # SNGP head buffers (reference kernel/sngp.py Laplace.register_buffer):
     # precision/covariance live in our mutable `sngp` collection, the RFF
     # W/b and JL random_matrix in the `buffers` collection — none are flax
@@ -153,10 +173,40 @@ def _torch_kind(key: str, arr: np.ndarray):
 def convert_torch_state_dict(state_dict: Dict[str, "object"], flax_params):
     """Map a torch state_dict onto ``flax_params``' structure (see module
     docstring). Returns the filled parameter pytree."""
-    buckets: dict = {k: [] for k in ("conv", "dense", "scale", "bias", *_FRN_NAMES)}
+    buckets: dict = {
+        k: []
+        for k in ("conv", "dense", "scale", "bias", "factor", "cbias", *_FRN_NAMES)
+    }
     total = 0
+
+    def to_np(v):
+        return np.asarray(
+            v.detach().numpy() if hasattr(v, "detach") else v, np.float32
+        )
+
+    # group rank-1 factor components ``<layer>.{s,r}.<i>.mean`` by their
+    # <layer>.{s,r} prefix; the stacked [components, dim] array enters the
+    # factor bucket at the first component's state_dict position, keeping
+    # the within-bucket order aligned with flax definition order
+    factor_groups: Dict[str, list] = {}
+    for k in state_dict:
+        m = _RANK1_FACTOR_RE.match(k)
+        if m:
+            factor_groups.setdefault(m.group(1), []).append(k)
+
     for k, v in state_dict.items():
-        arr = np.asarray(v.detach().numpy() if hasattr(v, "detach") else v, np.float32)
+        m = _RANK1_FACTOR_RE.match(k)
+        if m:
+            group = factor_groups[m.group(1)]
+            if k != group[0]:
+                continue  # stacked with the first component
+            comps = sorted(group, key=lambda kk: int(_RANK1_FACTOR_RE.match(kk).group(2)))
+            buckets["factor"].append(
+                [m.group(1), np.stack([to_np(state_dict[kk]) for kk in comps]), False]
+            )
+            total += 1
+            continue
+        arr = to_np(v)
         kind = _torch_kind(k, arr)
         if kind is None:
             continue

@@ -67,7 +67,9 @@ WD = 1e-4
 DROPOUT_P = 0.1
 SWAG_START = 8
 SWAG_DEVIATIONS = 8
-EVAL_SAMPLES = {"map": 1, "mcd": 8, "swag": 8}
+RANK1_COMPONENTS = 2  # camelyon.yaml RANK1 block uses components
+RANK1_MC = 2
+EVAL_SAMPLES = {"map": 1, "mcd": 8, "swag": 8, "rank1": 8}
 GROWTH, BLOCKS, INIT_F, BN_SIZE = 4, (2, 2), 8, 2  # == wilds_task tiny
 
 
@@ -164,12 +166,20 @@ def _ref_config(model: str) -> dict:
         "subsample": None,
         "test_subsample": None,
         "dropout_p": DROPOUT_P,
+        "prior_std": 1.0,  # consumed by _build_rank1 (camelyon/models.py:122)
         "optimizer": {
             "base": {"lr": LR, "weight_decay": WD, "momentum": 0.9},
             "swag": {
                 "start_epoch": SWAG_START,
                 "update_interval": 1,
                 "deviation_samples": SWAG_DEVIATIONS,
+            },
+            # camelyon/models.py:141 BBBOptimizer(**config["optimizer"]["rank1"])
+            "rank1": {
+                "mc_samples": RANK1_MC,
+                "kl_rescaling": 1.0,
+                "dataset_size": N_TRAIN,
+                "components": RANK1_COMPONENTS,
             },
         },
     }
@@ -243,6 +253,12 @@ def _run_ours(model: str, arrays, init_sd, seed: int = 0):
         "momentum": 0.9,
         "dropout_p": DROPOUT_P,
         "prior_std": 1.0,
+        "bbb_mc_samples": RANK1_MC,
+        "kl_rescaling": 1.0,
+        "rank1_components": RANK1_COMPONENTS,
+        # the reference camelyon rank1 block passes no l2_scale ->
+        # BBBOptimizer default 0 (bbb.py:47)
+        "rank1_l2_scale": 0.0,
         "swag_start_epoch": SWAG_START,
         "swag_deviation_samples": SWAG_DEVIATIONS,
         # swag_interval() = spe * swag_epochs // swag_updates -> 1,
@@ -256,9 +272,18 @@ def _run_ours(model: str, arrays, init_sd, seed: int = 0):
     }
     spe = N_TRAIN // BATCH
     built = wilds_task.build("camelyon17", config, jax.random.key(seed), spe)
-    built.state = built.state.replace(
-        params=convert_torch_state_dict(init_sd, built.state.params)
-    )
+    transplanted = convert_torch_state_dict(init_sd, built.state.params)
+    if model == "rank1":
+        # rank-1: the converter maps the shared kernels, per-component
+        # bias and stacked s/r factor means; the factor rhos stay at the
+        # matching -3 init on both sides (rank1.py sign_init /
+        # nn/gaussian.py). Re-init posterior state on the transplanted
+        # tree, as the iwildcam conv-BBB track does.
+        built.state = built.method.init(
+            jax.random.key(seed + 1), transplanted, built.state.model_state
+        )
+    else:
+        built.state = built.state.replace(params=transplanted)
     from _ref_stubs import loss_capture
 
     log, losses = loss_capture()
@@ -287,10 +312,14 @@ _TOL = {
     "map": {"accuracy": 0.06, "avg_ll": 0.08, "ece": 0.06},
     "mcd": {"accuracy": 0.10, "avg_ll": 0.12, "ece": 0.10},
     "swag": {"accuracy": 0.07, "avg_ll": 0.10, "ece": 0.10},
+    # rank1 adds per-MC-sample factor noise with unmatched RNGs (each
+    # forward samples every layer's s/r factors), so its band mirrors the
+    # iwildcam conv-BBB one
+    "rank1": {"accuracy": 0.10, "avg_ll": 0.15, "ece": 0.10},
 }
 
 
-@pytest.mark.parametrize("model", ["map", "mcd", "swag"])
+@pytest.mark.parametrize("model", ["map", "mcd", "swag", "rank1"])
 def test_e2e_camelyon_parity(model, arrays, tmp_path):
     ref, init_sd, ref_losses = _run_reference(model, arrays, str(tmp_path))
     ours, our_losses = _run_ours(model, arrays, init_sd)
