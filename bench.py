@@ -462,6 +462,24 @@ def main():
                 fs[k + "_epoch_s"] = recorded[k]["epoch_seconds"]
         if fs:
             extra["full_scale_recorded"] = fs
+        # big-backbone rows (benchmarks/big_backbones.py: DistilBERT-512 /
+        # ResNet-50@448 / DenseNet-121 via the real wilds_task engine):
+        # step time + MFU + roofline verdict per reference-scale workload
+        bb = recorded.get("big_backbones", {})
+        if bb:
+            extra["big_backbones"] = {
+                k: {
+                    f: v.get(f)
+                    for f in (
+                        "step_ms", "images_per_sec", "achieved_tflops",
+                        "mfu_vs_v5e_bf16_peak", "projected_full_train_h",
+                    )
+                    if v.get(f) is not None
+                }
+                | ({"roofline": v["roofline"]["verdict"]} if "roofline" in v else {})
+                for k, v in bb.items()
+                if k != "meta" and isinstance(v, dict) and "step_ms" in v
+            }
     except Exception:
         pass
     result["extra"] = extra

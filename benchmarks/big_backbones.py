@@ -57,6 +57,22 @@ WORKLOADS = {
     "resnet50_448_ll_bbb": ("iwildcam", "ll_bbb", 16, 8, (129_809, 12)),
     "densenet121_map": ("fmow", "map", 64, 8, (76_863, 50)),
     "densenet121_ll_swag": ("fmow", "swag_ll", 64, 8, (76_863, 50)),
+    # decomposition variants: where does the DistilBERT step time go?
+    # (a) per-block remat: drop saved activations (incl. the [B,H,L,L]
+    #     fp32 attention probs the dropout path materializes) for one
+    #     extra forward per block
+    "bert_map_remat": ("amazon", "map", 8, 32, (245_502, 5)),
+    # (b) attention dropout off -> the fused jax.nn.dot_product_attention
+    #     path; isolates the unfused-attention cost (NOT the training
+    #     configuration; reference HF default attention_dropout=0.1)
+    "bert_map_nodrop": ("amazon", "map", 8, 32, (245_502, 5)),
+}
+
+_WORKLOAD_OVERRIDES = {
+    "bert_map_remat": {"bert_remat": True},
+    "bert_map_nodrop": {
+        "bert_config": dict(dropout=0.0, attention_dropout=0.0)
+    },
 }
 
 
@@ -129,6 +145,7 @@ def run_workload(name: str, lat: float, dtype: str = "bf16", reps: int = 3):
         "optimizer_kind": "adam",
         "dataset_size": train_n,
         "torchvision_arch": task in ("iwildcam", "rxrx1"),
+        **_WORKLOAD_OVERRIDES.get(name, {}),
     }
     steps_per_epoch = train_n // batch
 

@@ -98,7 +98,12 @@ def _bert_config(config: dict) -> DistilBertConfig:
     override = config.get("bert_config")
     if override:
         return DistilBertConfig(**override)
-    return TINY_CONFIG if config.get("tiny") else DistilBertConfig()
+    if config.get("tiny"):
+        return TINY_CONFIG
+    # bert_remat: recompute each transformer block in backward instead of
+    # saving activations (models/bert.py DistilBertConfig.remat) — wins
+    # when the train step is HBM-bound (see benchmarks big_backbones)
+    return DistilBertConfig(remat=bool(config.get("bert_remat", False)))
 
 
 def _compute_dtype(config: dict):

@@ -37,6 +37,7 @@ class DistilBertConfig:
         max_position_embeddings: int = 512,
         dropout: float = 0.1,
         attention_dropout: float = 0.1,
+        remat: bool = False,
     ):
         self.vocab_size = vocab_size
         self.dim = dim
@@ -46,6 +47,13 @@ class DistilBertConfig:
         self.max_position_embeddings = max_position_embeddings
         self.dropout = dropout
         self.attention_dropout = attention_dropout
+        # rematerialize each transformer block in the backward pass
+        # instead of saving its activations (notably the [B,H,L,L]
+        # attention probabilities the dropout path materializes): trades
+        # one extra forward per block for a large cut in HBM traffic —
+        # the right trade on TPU where the train step is bandwidth-bound
+        # (benchmarks/results.json big_backbones roofline)
+        self.remat = remat
 
 
 TINY_CONFIG = DistilBertConfig(
@@ -150,12 +158,18 @@ class DistilBertEncoder(nn.Module):
                 h = FixableDropout(cfg.dropout, freeze_on_eval=False)(h, train=train)
             elif train:
                 h = nn.Dropout(cfg.dropout, deterministic=False)(h)
+        # static_argnums counts from self: (h, mask, train) -> train is 3
+        block_cls = (
+            nn.remat(TransformerBlock, static_argnums=(3,))
+            if getattr(cfg, "remat", False)
+            else TransformerBlock
+        )
         for i in range(cfg.n_layers):
-            h = TransformerBlock(
+            h = block_cls(
                 cfg.dim, cfg.n_heads, cfg.hidden_dim, cfg.dropout,
                 attention_dropout=cfg.attention_dropout,
                 mc_dropout=self.mc_dropout, dtype=self.dtype, name=f"layer_{i}"
-            )(h, attention_mask, train=train)
+            )(h, attention_mask, train)
         return h
 
 
