@@ -66,6 +66,11 @@ WORKLOADS = {
     #     path; isolates the unfused-attention cost (NOT the training
     #     configuration; reference HF default attention_dropout=0.1)
     "bert_map_nodrop": ("amazon", "map", 8, 32, (245_502, 5)),
+    # (c) fused_attention=False: XLA-only attention dropout ([B,H,L,L]
+    #     probs + mask through HBM) — the A/B baseline for the Pallas
+    #     fused dropout-attention kernel (ops/attention.py), which is the
+    #     DEFAULT path for bert_map/bert_ll_* above
+    "bert_map_unfused": ("amazon", "map", 8, 32, (245_502, 5)),
 }
 
 _WORKLOAD_OVERRIDES = {
@@ -73,6 +78,7 @@ _WORKLOAD_OVERRIDES = {
     "bert_map_nodrop": {
         "bert_config": dict(dropout=0.0, attention_dropout=0.0)
     },
+    "bert_map_unfused": {"bert_config": dict(fused_attention=False)},
 }
 
 

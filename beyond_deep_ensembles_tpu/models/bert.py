@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..nn.dropout import FixableDropout
+from ..ops.attention import fused_attention_available, fused_dropout_attention
 from .layers import call_layer, make_dense
 
 
@@ -38,6 +39,7 @@ class DistilBertConfig:
         dropout: float = 0.1,
         attention_dropout: float = 0.1,
         remat: bool = False,
+        fused_attention: bool = True,
     ):
         self.vocab_size = vocab_size
         self.dim = dim
@@ -54,6 +56,11 @@ class DistilBertConfig:
         # the right trade on TPU where the train step is bandwidth-bound
         # (benchmarks/results.json big_backbones roofline)
         self.remat = remat
+        # when attention dropout is live, use the Pallas fused kernel
+        # (ops/attention.py) on TPU instead of materializing the
+        # [B, H, L, L] probabilities + mask in HBM; auto-falls back off
+        # TPU or for lane-unaligned L (fused_attention_available)
+        self.fused_attention = fused_attention
 
 
 TINY_CONFIG = DistilBertConfig(
@@ -83,6 +90,7 @@ class TransformerBlock(nn.Module):
     dropout: float
     attention_dropout: float = 0.0
     mc_dropout: bool = False
+    fused_attention: bool = True
     dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 on TPU)
 
     @nn.compact
@@ -107,17 +115,40 @@ class TransformerBlock(nn.Module):
         v = proj("v_lin")(x).reshape(b, l, self.n_heads, head_dim)
         attn_mask = mask[:, None, None, :].astype(bool)
         if self.attention_dropout > 0 and (train or self.mc_dropout):
-            # unfused path: drop attention probabilities like HF.
-            # bf16 inputs hit the MXU; scores accumulate in fp32
-            # (preferred_element_type) so the softmax is numerically clean,
-            # then probs return to the compute dtype for the PV matmul.
-            scores = jnp.einsum(
-                "blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32
-            ) / jnp.sqrt(jnp.float32(head_dim))
-            scores = jnp.where(attn_mask, scores, jnp.finfo(jnp.float32).min)
-            probs = jax.nn.softmax(scores, axis=-1)
-            probs = drop(probs, self.attention_dropout).astype(q.dtype)
-            attn = jnp.einsum("bhlm,bmhd->blhd", probs, v)
+            # is_initializing: param-shape inference may trace on the CPU
+            # host (utils/perf.init_on_host), where the Pallas call cannot
+            # lower — the unfused branch creates the identical params.
+            if (
+                self.fused_attention
+                and not self.is_initializing()
+                and fused_attention_available(l)
+            ):
+                # Pallas path: probabilities, dropout mask (hardware PRNG)
+                # and the PV matmul stay in VMEM; backward recomputes the
+                # identical mask. The dropout STREAM differs from the
+                # jax.random fallback (see ops/attention.py) — iid either
+                # way, which is all dropout semantics require.
+                seed = jax.random.bits(
+                    self.make_rng("dropout"), (1,), jnp.uint32
+                ).astype(jnp.int32)
+                attn = fused_dropout_attention(
+                    q, k, v, mask, seed, dropout_p=self.attention_dropout
+                )
+            else:
+                # unfused path: drop attention probabilities like HF.
+                # bf16 inputs hit the MXU; scores accumulate in fp32
+                # (preferred_element_type) so the softmax is numerically
+                # clean, then probs return to the compute dtype for the
+                # PV matmul.
+                scores = jnp.einsum(
+                    "blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32
+                ) / jnp.sqrt(jnp.float32(head_dim))
+                scores = jnp.where(
+                    attn_mask, scores, jnp.finfo(jnp.float32).min
+                )
+                probs = jax.nn.softmax(scores, axis=-1)
+                probs = drop(probs, self.attention_dropout).astype(q.dtype)
+                attn = jnp.einsum("bhlm,bmhd->blhd", probs, v)
         else:
             attn = jax.nn.dot_product_attention(q, k, v, mask=attn_mask)
         attn = attn.reshape(b, l, self.dim)
@@ -168,7 +199,9 @@ class DistilBertEncoder(nn.Module):
             h = block_cls(
                 cfg.dim, cfg.n_heads, cfg.hidden_dim, cfg.dropout,
                 attention_dropout=cfg.attention_dropout,
-                mc_dropout=self.mc_dropout, dtype=self.dtype, name=f"layer_{i}"
+                mc_dropout=self.mc_dropout,
+                fused_attention=getattr(cfg, "fused_attention", True),
+                dtype=self.dtype, name=f"layer_{i}"
             )(h, attention_mask, train)
         return h
 

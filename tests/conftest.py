@@ -9,17 +9,24 @@ platform; XLA_FLAGS is read by the CPU client at backend init and must be
 set before that point too."""
 import os
 
+# BDE_TESTS_TPU=1 opts OUT of the CPU mesh: the suite then runs on the
+# real chip so the @requires_tpu lanes (hardware PRNG, Pallas kernels)
+# execute instead of skipping. Default stays the hermetic 8-CPU mesh.
+_ON_TPU = os.environ.get("BDE_TESTS_TPU") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _ON_TPU and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_default_matmul_precision", "highest")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: the e2e tests' conv-net programs dominate
 # suite wall time on this single-core host; caching makes re-runs cheap.
@@ -32,7 +39,8 @@ try:
 except Exception:
     pass
 
-assert jax.device_count() == 8, (
-    f"expected the 8-device virtual CPU mesh, got {jax.devices()} — "
-    "was a backend initialized before conftest?"
-)
+if not _ON_TPU:
+    assert jax.device_count() == 8, (
+        f"expected the 8-device virtual CPU mesh, got {jax.devices()} — "
+        "was a backend initialized before conftest?"
+    )
