@@ -480,6 +480,23 @@ def main():
                 for k, v in bb.items()
                 if k != "meta" and isinstance(v, dict) and "step_ms" in v
             }
+        # posterior-predictive MC-eval throughput (S=10) for the same
+        # backbones (benchmarks/big_backbones.py --mode eval)
+        bbe = recorded.get("big_backbones_eval", {})
+        if bbe:
+            extra["big_backbones_eval"] = {
+                k: {
+                    f: v.get(f)
+                    for f in (
+                        "eval_ms_per_batch", "posterior_samples_per_sec",
+                        "projected_test_eval_s",
+                    )
+                    if v.get(f) is not None
+                }
+                for k, v in bbe.items()
+                if k != "meta" and isinstance(v, dict)
+                and "eval_ms_per_batch" in v
+            }
     except Exception:
         pass
     result["extra"] = extra

@@ -73,6 +73,22 @@ WORKLOADS = {
     "bert_map_unfused": ("amazon", "map", 8, 32, (245_502, 5)),
 }
 
+# WILDS OOD test-split sizes (public dataset stats; reference evaluates
+# the full split with eval_samples=10 posterior draws, BASELINE.md) —
+# used to project whole-test-set MC-eval wall time.
+TEST_SIZES = {"amazon": 100_050, "iwildcam": 42_791, "fmow": 22_108}
+
+# the real (backbone, method) pairs; decomposition variants excluded
+EVAL_WORKLOADS = (
+    "bert_map",
+    "bert_ll_swag",
+    "bert_ll_bbb",
+    "resnet50_448_map",
+    "resnet50_448_ll_bbb",
+    "densenet121_map",
+    "densenet121_ll_swag",
+)
+
 _WORKLOAD_OVERRIDES = {
     "bert_map_remat": {"bert_remat": True},
     "bert_map_nodrop": {
@@ -240,32 +256,141 @@ def run_workload(name: str, lat: float, dtype: str = "bf16", reps: int = 3):
     return row
 
 
+def run_eval_workload(name: str, lat: float, dtype: str = "bf16", reps: int = 3,
+                      eval_samples: int = 10):
+    """Posterior-predictive MC-eval throughput for one big backbone.
+
+    Drives the REAL eval stack — methods/ensemble.predict (S posterior
+    draws, vmapped) under parallel/multistep.make_eval_runner (the
+    one-dispatch whole-test-set scan experiments/wilds_task.eval_task
+    uses on accelerators) — with S=10 per the reference configs
+    (BASELINE.md eval-samples column). Projects full OOD-test-split eval
+    wall time from the public split sizes."""
+    from beyond_deep_ensembles_tpu.experiments import wilds_task
+    from beyond_deep_ensembles_tpu.methods.ensemble import predict
+    from beyond_deep_ensembles_tpu.parallel.multistep import make_eval_runner
+    from beyond_deep_ensembles_tpu.utils.perf import init_on_host
+
+    task, model_name, batch, scan_k, _ = WORKLOADS[name]
+    config = {
+        **wilds_task.DEFAULT_CONFIG,
+        "model": model_name,
+        "batch_size": batch,
+        "compute_dtype": dtype,
+        "pretrained": False,
+        "optimizer_kind": "adam",
+        "dataset_size": batch * 64,
+        "torchvision_arch": task in ("iwildcam", "rxrx1"),
+        **_WORKLOAD_OVERRIDES.get(name, {}),
+    }
+
+    _stage(f"eval {name}: building state on host")
+    holder = {}
+
+    def build_state():
+        built = wilds_task.build(task, config, jax.random.key(0), 64)
+        holder["built"] = built
+        return built.state
+
+    state = init_on_host(build_state)
+    built = holder["built"]
+
+    n_data = batch * scan_k
+    x, _ = synth_batch(task, n_data, jax.random.key(7))
+
+    def predict_one(s, k, xb):
+        samples = predict(
+            built.method, s, built.apply_fn, xb,
+            n_samples=eval_samples, key=k,
+        )  # [S, bs, ...]
+        return jnp.swapaxes(samples, 0, 1)  # runner wants batch leading
+
+    runner = make_eval_runner(predict_one, n_data, batch)
+
+    def run():
+        out = runner(state, jax.random.key(11), x)
+        return float(out[0, 0, 0])  # scalar fetch = device sync
+
+    _stage(f"eval {name}: compiling + timing ({scan_k}-batch scan, S={eval_samples})")
+    dt = max(_timed(run, reps=reps) - lat, 1e-9)
+    imgs_per_s = n_data / dt
+    row = {
+        "task": task,
+        "model": model_name,
+        "batch": batch,
+        "compute_dtype": dtype,
+        "eval_samples": eval_samples,
+        "eval_ms_per_batch": round(dt / scan_k * 1e3, 2),
+        "eval_images_per_sec": round(imgs_per_s, 1),
+        "posterior_samples_per_sec": round(imgs_per_s * eval_samples, 1),
+    }
+    test_n = TEST_SIZES.get(task)
+    if test_n:
+        row["test_split_n"] = test_n
+        row["projected_test_eval_s"] = round(test_n / imgs_per_s, 1)
+    return row
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workloads", default=",".join(WORKLOADS))
     ap.add_argument("--dtype", default="bf16")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--mode", default="train", choices=("train", "eval", "both"),
+        help="train = step-time suite; eval = posterior-predictive "
+        "MC-eval throughput (S=10) over the EVAL_WORKLOADS set",
+    )
     args = ap.parse_args()
 
     fast_rng = _setup()
     lat = tunnel_latency()
     _stage(f"latency {lat*1e3:.1f} ms, device {jax.devices()[0]}")
 
-    rows = {}
-    for name in args.workloads.split(","):
-        name = name.strip()
-        if not name:
-            continue
-        try:
-            rows[name] = run_workload(name, lat, dtype=args.dtype, reps=args.reps)
-            _stage(
-                f"{name}: {rows[name]['step_ms']} ms/step, "
-                f"{rows[name].get('achieved_tflops', '?')} TF/s, "
-                f"MFU {rows[name].get('mfu_vs_v5e_bf16_peak', '?')}"
-            )
-        except Exception as e:
-            _stage(f"{name} FAILED: {e!r}")
-            rows[name] = {"error": repr(e)[:500]}
+    meta = {
+        "device": str(jax.devices()[0]),
+        "prng_impl": "rbg" if fast_rng else "threefry2x32",
+        "tunnel_latency_ms": round(lat * 1e3, 1),
+        "sync": "host scalar fetch (block_until_ready is a no-op on this backend)",
+        "hbm_note": "bytes from XLA cost analysis = pre-fusion upper bound on true traffic",
+        "builders": "experiments/wilds_task.build (the real engine), compute_dtype=bf16, random init",
+    }
+    requested = [n.strip() for n in args.workloads.split(",") if n.strip()]
+    sections = {}
+
+    if args.mode in ("train", "both"):
+        rows = {}
+        for name in requested:
+            try:
+                rows[name] = run_workload(name, lat, dtype=args.dtype, reps=args.reps)
+                _stage(
+                    f"{name}: {rows[name]['step_ms']} ms/step, "
+                    f"{rows[name].get('achieved_tflops', '?')} TF/s, "
+                    f"MFU {rows[name].get('mfu_vs_v5e_bf16_peak', '?')}"
+                )
+            except Exception as e:
+                _stage(f"{name} FAILED: {e!r}")
+                rows[name] = {"error": repr(e)[:500]}
+        sections["big_backbones"] = rows
+
+    if args.mode in ("eval", "both"):
+        names = [n for n in requested if n in EVAL_WORKLOADS]
+        if args.workloads == ",".join(WORKLOADS):  # default -> the eval set
+            names = list(EVAL_WORKLOADS)
+        rows = {}
+        for name in names:
+            try:
+                rows[name] = run_eval_workload(
+                    name, lat, dtype=args.dtype, reps=args.reps
+                )
+                _stage(
+                    f"eval {name}: {rows[name]['eval_ms_per_batch']} ms/batch, "
+                    f"{rows[name]['posterior_samples_per_sec']} posterior samples/s"
+                )
+            except Exception as e:
+                _stage(f"eval {name} FAILED: {e!r}")
+                rows[name] = {"error": repr(e)[:500]}
+        sections["big_backbones_eval"] = rows
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
     existing = {}
@@ -274,20 +399,14 @@ def main():
             existing = json.load(f)
     except Exception:
         pass
-    section = dict(existing.get("big_backbones", {}))
-    section.update(rows)
-    section["meta"] = {
-        "device": str(jax.devices()[0]),
-        "prng_impl": "rbg" if fast_rng else "threefry2x32",
-        "tunnel_latency_ms": round(lat * 1e3, 1),
-        "sync": "host scalar fetch (block_until_ready is a no-op on this backend)",
-        "hbm_note": "bytes from XLA cost analysis = pre-fusion upper bound on true traffic",
-        "builders": "experiments/wilds_task.build (the real engine), compute_dtype=bf16, random init",
-    }
-    existing["big_backbones"] = section
+    for key, rows in sections.items():
+        section = dict(existing.get(key, {}))
+        section.update(rows)
+        section["meta"] = meta
+        existing[key] = section
     with open(out_path, "w") as f:
         json.dump(existing, f, indent=2)
-    print(json.dumps(rows, indent=2))
+    print(json.dumps(sections, indent=2))
     print(f"wrote {out_path}")
 
 
