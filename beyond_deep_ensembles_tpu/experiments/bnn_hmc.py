@@ -72,10 +72,16 @@ def run_hmc(
     init_params=None,
     log=None,
     mesh=None,
+    ring_dtype=None,
+    ring_sharding=None,
 ):
     """One HMC chain (reference run_hmc.py:134-191): adaptive step size
     during burn-in, online predictive ensembling of accepted samples,
-    preemption-safe checkpointing when ``run_dir`` is set."""
+    preemption-safe checkpointing when ``run_dir`` is set.
+
+    ring_dtype / ring_sharding: draw-ring scaling knobs forwarded to
+    hmc_method (methods/rings.py) — bf16 storage and/or sharding the
+    flat parameter dimension over a mesh axis for big backbones."""
     log = log or VoidLog()
     if mesh is None:
         mesh = make_mesh(member_parallel=1)
@@ -88,6 +94,11 @@ def run_hmc(
         # script_utils.get_initialization_dict)
         params = init_params
     loss_fn = xent_loss_fn(model)
+    ring_kw = {}
+    if ring_dtype is not None:
+        ring_kw["ring_dtype"] = ring_dtype
+    if ring_sharding is not None:
+        ring_kw["ring_sharding"] = ring_sharding
     method = hmc_method(
         loss_fn,
         dataset_size=x.shape[0],
@@ -96,6 +107,7 @@ def run_hmc(
         prior_std=prior_std,
         target_accept_rate=target_accept_rate,
         step_size_adaptation_speed=step_size_adaptation_speed,
+        **ring_kw,
     )
     state = method.init(jax.random.key(seed + 1), params, model_state)
 
@@ -158,8 +170,13 @@ def run_sgmcmc(
     seed: int = 0,
     init_params=None,
     log=None,
+    ring_dtype=None,
+    ring_sharding=None,
 ):
-    """SGLD/SGHMC training loop (reference run_sgmcmc.py)."""
+    """SGLD/SGHMC training loop (reference run_sgmcmc.py).
+
+    ring_dtype / ring_sharding: draw-ring scaling knobs forwarded to
+    sgmcmc_method (methods/rings.py)."""
     log = log or VoidLog()
     x, y = train_arrays
     example = jnp.asarray(x[:2])
@@ -168,6 +185,11 @@ def run_sgmcmc(
         # warm start / transplant (reference --init_checkpoint,
         # script_utils.get_initialization_dict)
         params = init_params
+    ring_kw = {}
+    if ring_dtype is not None:
+        ring_kw["ring_dtype"] = ring_dtype
+    if ring_sharding is not None:
+        ring_kw["ring_sharding"] = ring_sharding
     method = sgmcmc_method(
         xent_loss_fn(model),
         dataset_size=x.shape[0],
@@ -177,6 +199,7 @@ def run_sgmcmc(
         prior_std=prior_std,
         preconditioner=preconditioner,
         sample_interval=sample_interval,
+        **ring_kw,
     )
     state = method.init(jax.random.key(seed + 1), params, model_state)
     update = jax.jit(method.update)

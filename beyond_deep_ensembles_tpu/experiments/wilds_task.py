@@ -143,6 +143,10 @@ def _make_backbone(task: str, config: dict, kind: str, dropout_p=None, head_kind
                 # (fmow/models.py:73 freeze_on_eval=False)
                 dropout_freeze_eval=task == "camelyon17",
                 dtype=dtype,
+                # conv_remat 'block' is the measured TPU win for the
+                # HBM-bound DenseNet-121 step (benchmarks/big_backbones
+                # densenet121_map_remat_* rows); default none for parity
+                remat=config.get("conv_remat", "none"),
             )
         )
     if task in ("iwildcam", "rxrx1"):
@@ -163,6 +167,7 @@ def _make_backbone(task: str, config: dict, kind: str, dropout_p=None, head_kind
                 # dropout (iwildcam/models.py:75 freeze_on_eval=False)
                 dropout_freeze_eval=False,
                 dtype=dtype or jnp.float32,
+                remat=config.get("conv_remat", "none"),
             )
         )
     if task == "poverty":
@@ -390,6 +395,7 @@ def build(task: str, config: dict, key: jax.Array, steps_per_epoch: int) -> Buil
                 update_interval=swag_interval(),
                 start_epoch=config["swag_start_epoch"],
                 deviation_samples=config["swag_deviation_samples"],
+                **_ring_kwargs(config),
             )
         if inner_name == "bbb":
             return lambda lf: bbb_method(
@@ -607,6 +613,38 @@ def _n_members_of(config: dict) -> int:
     return config.get("members", 1)
 
 
+def _ring_kwargs(config: dict) -> dict:
+    """Posterior-ring scaling knobs (methods/rings.py) from config.
+
+    ``ring_dtype: bf16`` stores the SWAG deviation ring in bfloat16
+    (halves its HBM: a 30-slot fp32 ring over ResNet-50's 25.6M params
+    is ~3 GB). ``ring_shard: true`` shards the ring's flat parameter
+    dimension over the mesh's data axis, so each of N devices holds
+    [K, D/N] — requires >1 device; composes with ``data_parallel``.
+    YAML examples: configs/iwildcam.yaml, configs/fmow.yaml swag blocks.
+    """
+    kw = {}
+    rd = config.get("ring_dtype")
+    if rd in ("bf16", "bfloat16"):
+        kw["ring_dtype"] = jnp.bfloat16
+    elif rd not in (None, "fp32", "float32"):
+        raise ValueError(f"ring_dtype {rd!r} (want fp32 or bf16)")
+    if config.get("ring_shard") and jax.device_count() > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import make_mesh
+
+        n_members = _n_members_of(config)
+        mp = (
+            n_members
+            if n_members > 1 and jax.device_count() % n_members == 0
+            else 1
+        )
+        mesh = make_mesh(member_parallel=mp)
+        kw["ring_sharding"] = NamedSharding(mesh, P(None, "data"))
+    return kw
+
+
 def train(built: BuiltExperiment, config: dict, x, y, log=None, epoch_callback=None):
     """epoch_callback(epoch, built) runs after finalize_epoch — the
     reference's eval_while_train periodic validation hook
@@ -625,7 +663,21 @@ def train(built: BuiltExperiment, config: dict, x, y, log=None, epoch_callback=N
     per-minibatch host dispatch (~30 ms RTT on the tunneled backend)
     disappears. Use when the task data fits HBM (the text tasks: amazon
     245k x 512 x 2 int32 ~= 1 GB; any subsampled run); image tasks at
-    full scale keep the prefetching host loop with scan_steps chunking."""
+    full scale keep the prefetching host loop with scan_steps chunking.
+
+    The two COMPOSE: with both flags the dataset is sharded over the
+    mesh's data axis (each device holds n_data/D examples), the state
+    lives member-sharded/replicated on the mesh, and the whole epoch is
+    ONE jitted scan whose per-step batches stay data-sharded — XLA
+    inserts the gradient all-reduces over ICI inside the scan, and batch
+    statistics (StaticBatchNorm) reduce globally, so the math is
+    bit-identical to the single-device epoch. This is the TPU replacement
+    for the reference's only multi-device mode, the fused pmap+scan epoch
+    (google-bnn-hmc/bnn_hmc/utils/train_utils.py:218-267 pmapped
+    lax.scan over device-sharded epoch batches): one host dispatch per
+    epoch AND data parallelism at once. Equivalence vs the single-device
+    epoch runner: tests/test_engine_parallel.py
+    test_mesh_epoch_runner_matches_single_device."""
     method, state = built.method, built.state
     trainer = None
     if config.get("data_parallel") and jax.device_count() > 1:
@@ -644,10 +696,29 @@ def train(built: BuiltExperiment, config: dict, x, y, log=None, epoch_callback=N
     key = jax.random.key(config["seed"])
     ckpt_dir = config.get("checkpoint_dir")
 
-    if config.get("device_data") and trainer is None:
+    if config.get("device_data"):
+        import contextlib
+
         from ..parallel.multistep import make_epoch_runner
 
         data_dev = (jnp.asarray(x), jnp.asarray(y))
+        mesh_ctx = contextlib.nullcontext
+        if trainer is not None:
+            # Fused DP x device-resident epoch: shard the staged dataset
+            # over the data axis (batch_size must divide by the data-axis
+            # extent so each scanned minibatch stays sharded; otherwise
+            # fall back to replicated data — still correct, no DP win).
+            data_size = trainer.mesh.shape["data"]
+            if (
+                x.shape[0] % data_size == 0
+                and config["batch_size"] % data_size == 0
+            ):
+                data_dev = trainer.place_batch(data_dev)
+            else:
+                from ..parallel.mesh import replicate
+
+                data_dev = replicate(trainer.mesh, data_dev)
+            mesh_ctx = lambda: jax.set_mesh(trainer.mesh)  # noqa: E731
         epoch_runner = make_epoch_runner(
             method.update, x.shape[0], config["batch_size"]
         )
@@ -659,13 +730,17 @@ def train(built: BuiltExperiment, config: dict, x, y, log=None, epoch_callback=N
             if resumed is not None:
                 start_epoch = resumed + 1
         for epoch in range(start_epoch, config["epochs"]):
-            state, metrics = epoch_runner(
-                state, jax.random.fold_in(key, epoch), data_dev
-            )
+            with mesh_ctx():
+                state, metrics = epoch_runner(
+                    state, jax.random.fold_in(key, epoch), data_dev
+                )
             epoch_loss = float(metrics["loss"])
             if not np.isfinite(epoch_loss):
                 raise RuntimeError("Diverged")  # reference civil.py:156-160
-            state = method.finalize_epoch(state)
+            if trainer is not None:
+                state = trainer.finalize_epoch(state)
+            else:
+                state = method.finalize_epoch(state)
             built.state = state
             if ckpt_dir and (epoch + 1) % config.get("checkpoint_interval", 20) == 0:
                 from ..utils import checkpoint as _ckpt
@@ -763,7 +838,27 @@ def eval_task(built: BuiltExperiment, task: str, config: dict, x, y, meta, seed=
         and x.nbytes <= 2 << 30,
     )
     if device_eval:
+        import contextlib
+
         from ..parallel.multistep import make_eval_runner
+
+        # data_parallel composes with the device-resident eval exactly as
+        # with the device-resident epoch (train() above): the staged test
+        # set shards over the data axis, the posterior-predictive scan
+        # compiles SPMD on the (member, data) mesh and XLA inserts any
+        # cross-device collectives. Metrics parity vs the host loop:
+        # tests/test_engine_parallel.py test_mesh_eval_matches_host_eval.
+        mesh = None
+        if config.get("data_parallel") and jax.device_count() > 1:
+            from ..parallel.mesh import make_mesh
+
+            n_members = _n_members_of(config)
+            mp = (
+                n_members
+                if n_members > 1 and jax.device_count() % n_members == 0
+                else 1
+            )
+            mesh = make_mesh(member_parallel=mp)
 
         def predict_one(state, k, xb):
             samples = predict(
@@ -782,7 +877,19 @@ def eval_task(built: BuiltExperiment, task: str, config: dict, x, y, meta, seed=
         cache_key = (x.shape, bs, config["eval_samples"])
         if cache_key not in cache:
             cache[cache_key] = make_eval_runner(predict_one, x.shape[0], bs)
-        out = cache[cache_key](built.state, key, jnp.asarray(x))  # [N, S, ...]
+        xdev = jnp.asarray(x)
+        mesh_ctx = contextlib.nullcontext
+        if mesh is not None:
+            from ..parallel.mesh import replicate, shard_batch
+
+            data_size = mesh.shape["data"]
+            if x.shape[0] % data_size == 0 and bs % data_size == 0:
+                xdev = shard_batch(mesh, xdev)
+            else:
+                xdev = replicate(mesh, xdev)
+            mesh_ctx = lambda: jax.set_mesh(mesh)  # noqa: E731
+        with mesh_ctx():
+            out = cache[cache_key](built.state, key, xdev)  # [N, S, ...]
         outputs = np.moveaxis(np.asarray(out), 1, 0)  # [S, N, ...]
         targets = np.asarray(y)
     else:

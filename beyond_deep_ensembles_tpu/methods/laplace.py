@@ -47,6 +47,45 @@ class LaplaceState(struct.PyTreeNode):
     epoch: jax.Array = struct.field(default_factory=lambda: jnp.int32(0))
 
 
+def _optimize_prior_prec(marglik, lo: float = -4.0, hi: float = 4.0, grid: int = 33,
+                         refine_iters: int = 32) -> float:
+    """Continuous marginal-likelihood optimization of the prior precision.
+
+    laplace-torch optimizes log prior precision by gradient descent
+    (reference src/algos/laplace_approx.py:35-36); here the same optimum
+    is found derivative-free: a log-spaced grid argmax pins the concave
+    region, then golden-section search on log(pp) inside the bracketing
+    pair of grid points drives the resolution to ~1e-6 decades
+    (0.618^32 of the half-decade bracket) — far below the fp32 noise
+    floor of the marglik itself, i.e. continuous for all practical
+    purposes. Exactness vs an analytic float64 root:
+    tests/test_laplace_kron.py::test_marglik_argmax_matches_analytic_root.
+
+    marglik: scalar function of prior precision (vmap-able, jit-safe).
+    """
+    candidates = jnp.logspace(lo, hi, grid)
+    vals = jax.jit(jax.vmap(marglik))(candidates)
+    i = int(jnp.argmax(vals))
+    log_c = jnp.log(candidates)
+    a = float(log_c[max(i - 1, 0)])
+    b = float(log_c[min(i + 1, grid - 1)])
+    f = jax.jit(lambda t: marglik(jnp.exp(t)))
+    gr = (math.sqrt(5.0) - 1.0) / 2.0
+    c = b - gr * (b - a)
+    d_ = a + gr * (b - a)
+    fc, fd = float(f(c)), float(f(d_))
+    for _ in range(refine_iters):
+        if fc >= fd:  # maximum in [a, d_]
+            b, d_, fd = d_, c, fc
+            c = b - gr * (b - a)
+            fc = float(f(c))
+        else:  # maximum in [c, b]
+            a, c, fc = c, d_, fd
+            d_ = a + gr * (b - a)
+            fd = float(f(d_))
+    return float(math.exp((a + b) / 2.0))
+
+
 def last_layer_mask(params) -> dict:
     """Heuristic last-layer selector: the highest-indexed Dense/BBBDense
     scope in the tree (the classification/regression head in all our
@@ -253,8 +292,7 @@ def laplace_method(
                 pp * jnp.sum(theta**2) + logdet - d_total * jnp.log(pp)
             )
 
-        candidates = jnp.logspace(-4, 4, 33)
-        best_pp = float(candidates[int(jnp.argmax(jax.vmap(marglik)(candidates)))])
+        best_pp = _optimize_prior_prec(marglik)
 
         ll_leaves = [p for p, m in zip(flat_params, jax.tree.leaves(mask)) if m]
         return LaplaceState(
@@ -358,11 +396,10 @@ def laplace_method(
             logdet_prior = d * jnp.log(pp)
             return loglik - 0.5 * (scatter + logdet - logdet_prior)
 
-        # Prior-precision sweep (replaces laplace-torch marglik Adam loop,
-        # reference laplace_approx.py:35-36).
-        candidates = jnp.logspace(-4, 4, 33)
-        margliks = jax.jit(jax.vmap(marglik))(candidates)
-        best_pp = float(candidates[int(jnp.argmax(margliks))])
+        # Continuous prior-precision optimization (replaces laplace-torch's
+        # marglik Adam loop, reference laplace_approx.py:35-36): grid
+        # bracket + golden-section refinement on log(pp).
+        best_pp = _optimize_prior_prec(marglik)
 
         _, scale, _ = posterior(best_pp)
         return LaplaceState(

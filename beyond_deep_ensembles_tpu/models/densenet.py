@@ -11,6 +11,16 @@ ClassificationHead whose linear is plain/BBB/Rank-1.
 NHWC. Dense connectivity keeps a single growing feature tensor instead
 of the reference's Python list-of-tensors (densenet.py:150-154) — one
 concat per layer, XLA-friendly.
+
+TPU note on ``remat``: dense connectivity saves every intermediate
+concat tensor for the backward pass — O(L^2) activation bytes per dense
+block, which is HBM traffic, the measured bottleneck for DenseNet-121
+training on v5e (benchmarks/big_backbones.py densenet121_* rows).
+``remat='block'`` checkpoints each dense block, saving only the four
+block inputs and recomputing the forward inside the block during the
+backward; ``remat='layer'`` checkpoints each DenseLayer (keeps the
+concat chain saved, drops only intra-layer BN/conv intermediates).
+Both are measured A/B on the real chip — see big_backbones results.
 """
 from __future__ import annotations
 
@@ -110,6 +120,11 @@ class DenseNet(nn.Module):
     # (reference fmow/models.py:73 freeze_on_eval=False)
     dropout_freeze_eval: bool = True
     dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 on TPU)
+    # 'none' | 'layer' | 'block' — activation rematerialization for the
+    # backward pass (module docstring). Ignored when a mixture component
+    # index is threaded (rank-1/MultiX), where the capture would have to
+    # be lifted explicitly; those paths never enable it.
+    remat: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
@@ -137,19 +152,49 @@ class DenseNet(nn.Module):
             )(h, train=train)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
+        # remat only matters under jit-of-grad; during (eager, host-side)
+        # init jax.checkpoint would trace+interpret every layer, turning
+        # a milliseconds init into minutes — skip it there. Mixture paths
+        # (component index) skip it too, see the field comment.
+        remat = (
+            self.remat
+            if component is None and not self.is_initializing()
+            else "none"
+        )
+        layer_cls = DenseLayer
+        if remat == "layer":
+            # prevent_cse=False: the step sits inside the epoch runner's
+            # lax.scan, where CSE across the checkpoint boundary is
+            # already impossible and the guard only costs compile time.
+            layer_cls = nn.remat(DenseLayer, static_argnums=(2,), prevent_cse=False)
+        # explicit names pinned to the no-remat auto-naming (nn.remat
+        # renames the class to CheckpointDenseLayer, which would shift
+        # every parameter path and break checkpoint converters)
+        layer_counter = iter(range(sum(self.block_config)))
+
         for i, n_layers in enumerate(self.block_config):
-            for _ in range(n_layers):
-                new = DenseLayer(
-                    self.growth_rate,
-                    self.bn_size,
-                    self.conv_kind,
-                    self.components,
-                    self.dropout_p,
-                    self.track_running_stats,
-                    dropout_freeze_eval=self.dropout_freeze_eval,
-                    dtype=self.dtype,
-                )(h, train=train, component=component)
-                h = jnp.concatenate([h, new], axis=-1)
+
+            def block_fn(mdl, h, n_layers=n_layers):
+                del mdl  # children attach to self (we run in self's scope)
+                for _ in range(n_layers):
+                    new = layer_cls(
+                        self.growth_rate,
+                        self.bn_size,
+                        self.conv_kind,
+                        self.components,
+                        self.dropout_p,
+                        self.track_running_stats,
+                        dropout_freeze_eval=self.dropout_freeze_eval,
+                        dtype=self.dtype,
+                        name=f"DenseLayer_{next(layer_counter)}",
+                    )(h, train, component)
+                    h = jnp.concatenate([h, new], axis=-1)
+                return h
+
+            if remat == "block":
+                h = nn.remat(block_fn, prevent_cse=False)(self, h)
+            else:
+                h = block_fn(self, h)
             if i != len(self.block_config) - 1:
                 # Transition (reference densenet.py:156-164)
                 t = _BN(self.track_running_stats)(h, train=train)
@@ -189,6 +234,7 @@ class DenseNetClassifier(nn.Module):
     track_running_stats: bool = False
     dropout_freeze_eval: bool = True
     dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 on TPU)
+    remat: str = "none"  # see DenseNet.remat
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
@@ -203,6 +249,7 @@ class DenseNetClassifier(nn.Module):
             self.track_running_stats,
             dropout_freeze_eval=self.dropout_freeze_eval,
             dtype=self.dtype,
+            remat=self.remat,
         )(x, train=train, component=component)
         # head matmul is a rounding error of the flops: keep it fp32
         h = h.astype(jnp.float32)

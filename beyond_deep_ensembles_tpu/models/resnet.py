@@ -469,6 +469,14 @@ class ResNet50(nn.Module):
     # from-scratch uses of this class keep the reference default True
     dropout_freeze_eval: bool = True
     norm_bound: float = 6.0  # spectral conv_kind only
+    # 'none' | 'block' | 'stage' — activation rematerialization. At the
+    # reference's 448px iWildCam resolution the saved per-block
+    # activations dominate HBM traffic; 'block' checkpoints each
+    # Bottleneck (saves only the 16 block inputs), 'stage' checkpoints
+    # each of the 4 stages (saves 4 inputs, recomputes a whole stage in
+    # backward). Measured A/B in benchmarks/big_backbones.py. Ignored
+    # when a mixture component index is threaded (rank-1/MultiX).
+    remat: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
@@ -495,22 +503,50 @@ class ResNet50(nn.Module):
             )(h, train=train)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
+        # skip remat during eager init (jax.checkpoint would trace+eval
+        # every block, inflating host-side init from ms to minutes) and
+        # under a mixture component index — see the field comment
+        remat = (
+            self.remat
+            if component is None and not self.is_initializing()
+            else "none"
+        )
+        block_cls = Bottleneck
+        if remat == "block":
+            # prevent_cse=False: steps run inside the epoch runner's
+            # lax.scan where cross-boundary CSE can't happen anyway.
+            block_cls = nn.remat(Bottleneck, static_argnums=(2,), prevent_cse=False)
+        # explicit names pinned to the no-remat auto-naming (nn.remat
+        # renames the class to CheckpointBottleneck, which would shift
+        # parameter paths and break the torchvision transplant map)
+        block_counter = iter(range(sum(self.stage_sizes)))
+
         for stage, blocks in enumerate(self.stage_sizes):
             features = 256 * (2**stage)
-            for block in range(blocks):
-                stride = 2 if (stage > 0 and block == 0) else 1
-                h = Bottleneck(
-                    features,
-                    stride,
-                    self.activation,
-                    self.norm,
-                    self.dropout_p,
-                    self.conv_kind,
-                    self.components,
-                    torchvision=self.torchvision,
-                    dropout_freeze_eval=self.dropout_freeze_eval,
-                    dtype=self.dtype,
-                )(h, train=train, component=component)
+
+            def stage_fn(mdl, h, stage=stage, blocks=blocks, features=features):
+                del mdl  # children attach to self (we run in self's scope)
+                for block in range(blocks):
+                    stride = 2 if (stage > 0 and block == 0) else 1
+                    h = block_cls(
+                        features,
+                        stride,
+                        self.activation,
+                        self.norm,
+                        self.dropout_p,
+                        self.conv_kind,
+                        self.components,
+                        torchvision=self.torchvision,
+                        dropout_freeze_eval=self.dropout_freeze_eval,
+                        dtype=self.dtype,
+                        name=f"Bottleneck_{next(block_counter)}",
+                    )(h, train, component)
+                return h
+
+            if remat == "stage":
+                h = nn.remat(stage_fn, prevent_cse=False)(self, h)
+            else:
+                h = stage_fn(self, h)
 
         h = jnp.mean(h, axis=(1, 2))
         if self.features_only:

@@ -112,6 +112,106 @@ def test_wilds_engine_eval_device_runner_matches_host_loop():
             np.testing.assert_allclose(dev[k], host[k], rtol=1e-5, atol=1e-6, err_msg=k)
 
 
+def test_mesh_epoch_runner_matches_single_device():
+    """device_data x data_parallel COMPOSE (the reference's only
+    multi-device mode is exactly this fusion — pmapped lax.scan epoch
+    over device-sharded batches, google-bnn-hmc/bnn_hmc/utils/
+    train_utils.py:218-267): the dataset shards over the data axis, the
+    whole epoch runs as one SPMD scan, and the trajectory reproduces the
+    single-device epoch runner to float tolerance (identical RNG streams
+    — the on-device shuffle draws from the same fold_in(key, epoch))."""
+    base = _train_wilds("map", data_parallel=False, device_data=True)
+    dp = _train_wilds("map", data_parallel=True, device_data=True)
+    assert int(dp.step) == int(base.step) == 8
+    for a, b in zip(jax.tree.leaves(dp.params), jax.tree.leaves(base.params)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+
+
+def test_mesh_epoch_runner_members_compose():
+    """Fused mode with a (member=2, data=4) mesh: ensemble members shard
+    over the member axis while each epoch is one device-resident scan."""
+    kw = dict(members=2, task="iwildcam", static_bn=False)
+    base = _train_wilds("map", data_parallel=False, device_data=True, **kw)
+    dp = _train_wilds("map", data_parallel=True, device_data=True, **kw)
+    for a, b in zip(jax.tree.leaves(dp.params), jax.tree.leaves(base.params)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+
+
+def test_mesh_eval_matches_host_eval():
+    """Mesh-compiled posterior-predictive eval (data-sharded test set,
+    SPMD scan) returns the same metrics as the per-batch host loop."""
+    from beyond_deep_ensembles_tpu.data import wilds as wilds_data
+    from beyond_deep_ensembles_tpu.experiments import wilds_task as W
+
+    n = 48  # divisible by the data axis (8) and by eval_batch_size 16
+    config = {
+        **W.DEFAULT_CONFIG,
+        "model": "map",
+        "tiny": True,
+        "batch_size": 16,
+        "eval_batch_size": 16,
+        "eval_samples": 2,
+        "dataset_size": n,
+        "pretrained": False,
+        "data_parallel": True,
+    }
+    built = W.build("camelyon17", config, jax.random.key(0), 2)
+    xt, yt, mt = wilds_data.load_wilds("camelyon17", "test", subsample=n)
+    xt = xt[:, :32, :32, :]
+    host = W.eval_task(built, "camelyon17", {**config, "device_eval": False,
+                                             "data_parallel": False}, xt, yt, mt)
+    mesh = W.eval_task(built, "camelyon17", {**config, "device_eval": True}, xt, yt, mt)
+    assert set(host) == set(mesh)
+    for k in host:
+        if isinstance(host[k], float):
+            np.testing.assert_allclose(mesh[k], host[k], rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_ring_knobs_config_driven_through_engine():
+    """ring_dtype/ring_shard reach swag_method FROM CONFIG through the
+    WILDS engine (experiments/wilds_task._ring_kwargs — the YAML surface
+    configs/{iwildcam,fmow}.yaml SWAG*_PODS profiles use): the trained
+    state's deviation ring is bf16 and sharded over the data axis, and
+    the bf16/sharded run reproduces the fp32/replicated trajectory (ring
+    storage noise is well below posterior MC variance; params identical)."""
+    from beyond_deep_ensembles_tpu.experiments import wilds_task as W
+
+    def run(**extra):
+        x, y = _synth_camelyon(64)
+        config = {
+            **W.DEFAULT_CONFIG,
+            "model": "swag",
+            "tiny": True,
+            "batch_size": 16,
+            "epochs": 2,
+            "dataset_size": 64,
+            "pretrained": False,
+            "seed": 3,
+            "data_parallel": True,
+            "swag_start_epoch": 0,
+            **extra,
+        }
+        built = W.build("camelyon17", config, jax.random.key(0), 4)
+        return W.train(built, config, x, y).state  # keep device arrays
+
+    base = run()
+    ringy = run(ring_dtype="bf16", ring_shard=True)
+    import jax.numpy as jnp
+
+    assert ringy.deviations.dtype == jnp.bfloat16
+    spec = getattr(ringy.deviations.sharding, "spec", ())
+    assert "data" in jax.tree.leaves(tuple(spec)), ringy.deviations.sharding
+    # optimizer trajectory unaffected by ring storage (params are fp32)
+    for a, b in zip(jax.tree.leaves(ringy.params), jax.tree.leaves(base.params)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+    # collected moments agree to bf16 ring resolution (the sharded run
+    # zero-pads flat-D to a multiple of the data axis; slice it off)
+    d = base.mean.shape[0]
+    np.testing.assert_allclose(
+        np.asarray(ringy.mean)[:d], np.asarray(base.mean), rtol=1e-2, atol=1e-3
+    )
+
+
 def test_pointwise_conv_member_sharding_exact():
     """Regression: XLA SPMD (jax 0.9.0) miscompiles a member-vmapped 1x1
     ``conv_general_dilated`` consuming another conv's output when the

@@ -99,11 +99,13 @@ def test_marglik_argmax_matches_analytic_root():
 
     is strictly concave in log pp with a unique root computed here
     independently (float64 numpy bisection on the eigenvalues of
-    X^T X / sigma^2). The grid argmax must land within one grid step
-    (logspace(-4,4,33): factor 10^0.25) of that root — any sign or term
-    error in the marglik formula moves the argmax by orders of
-    magnitude, which this catches while a fixed 'runs and is finite'
-    test would not."""
+    X^T X / sigma^2). The continuous optimizer (grid bracket +
+    golden-section on log pp, methods/laplace.py _optimize_prior_prec —
+    the counterpart of laplace-torch's gradient marglik optimization)
+    must land within ~2% of that root, limited only by the fp32 noise
+    floor of the marglik evaluation — any sign or term error in the
+    marglik formula moves the optimum by orders of magnitude, and a
+    grid-quantized argmax would sit up to 10^0.125 (~33%) away."""
     D = 16  # features; +1 bias below
     rng = np.random.RandomState(3)
     x64 = rng.randn(256, D)
@@ -155,19 +157,22 @@ def test_marglik_argmax_matches_analytic_root():
     pp_analytic = np.sqrt(lo * hi)
     assert 1e-3 < pp_analytic < 1e3  # interior of the sweep range
 
-    grid_step = 8.0 / 32.0  # log10 spacing of logspace(-4, 4, 33)
+    # continuous refinement: ~2% in pp (0.01 decades), vs the former
+    # one-grid-step (0.25 decade) guarantee of the plain argmax
     err = abs(np.log10(float(fitted.prior_prec)) - np.log10(pp_analytic))
-    assert err <= grid_step + 1e-6, (float(fitted.prior_prec), pp_analytic)
+    assert err <= 0.01 + 1e-6, (float(fitted.prior_prec), pp_analytic)
 
     # kron on the same model builds A (x) B == H exactly (single output,
-    # linear map), so its marglik sweep must pick the same grid point
+    # linear map), so its continuous optimum must agree to fp noise
     lap_k = laplace_method(
         model, hessian="kron", regression=True, sigma_noise=1.0, inner=inner,
         mean_output=lambda p, s, xx: model.apply(
             p, s, None, xx, train=False, mutable_state=False)[0],
     )
     fitted_k = lap_k.fit(state, (x, y))
-    assert float(fitted_k.prior_prec) == float(fitted.prior_prec)
+    np.testing.assert_allclose(
+        float(fitted_k.prior_prec), float(fitted.prior_prec), rtol=0.02
+    )
 
 
 def test_kron_classification_runs():

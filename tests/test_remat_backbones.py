@@ -1,0 +1,91 @@
+"""Activation-remat knobs on the conv backbones (models/densenet.py,
+models/resnet.py ``remat`` field).
+
+Remat must be a pure performance transform: identical parameter tree
+(flat DenseLayer_{k} / Bottleneck_{k} naming — checkpoint converters
+depend on it), identical forward values, identical gradients (it
+re-runs the same ops in the backward pass). These pins let the engine
+flip ``conv_remat`` per-hardware without any parity risk.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from beyond_deep_ensembles_tpu.models.densenet import DenseNetClassifier
+from beyond_deep_ensembles_tpu.models.resnet import ResNet50
+
+
+def _paths(tree):
+    return sorted(
+        "/".join(str(k.key) for k in p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(tree)
+    )
+
+
+def _loss_and_grad(model, variables, x):
+    @jax.jit
+    def lg(v):
+        def loss(v):
+            out = model.apply(v, x, train=True)
+            return jnp.sum(out**2)
+
+        return jax.value_and_grad(loss)(v)
+
+    return lg(variables)
+
+
+@pytest.mark.parametrize("remat", ["layer", "block"])
+def test_densenet_remat_is_pure_perf_transform(remat):
+    x = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    base = DenseNetClassifier(
+        classes=4, growth_rate=4, block_config=(2, 2), init_features=8, bn_size=2
+    )
+    v = base.init(jax.random.key(1), x, train=True)
+    other = base.clone(remat=remat)
+    # same init => same tree structure and flat naming
+    v2 = other.init(jax.random.key(1), x, train=True)
+    assert _paths(v) == _paths(v2)
+
+    l0, g0 = _loss_and_grad(base, v, x)
+    l1, g1 = _loss_and_grad(other, v, x)
+    np.testing.assert_allclose(l0, l1, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("remat", ["block", "stage"])
+def test_resnet50_remat_is_pure_perf_transform(remat):
+    x = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    base = ResNet50(classes=4, stage_sizes=(1, 1), torchvision=True)
+    v = base.init(jax.random.key(1), x, train=True)
+    other = base.clone(remat=remat)
+    v2 = other.init(jax.random.key(1), x, train=True)
+    assert _paths(v) == _paths(v2)
+
+    l0, g0 = _loss_and_grad(base, v, x)
+    l1, g1 = _loss_and_grad(other, v, x)
+    np.testing.assert_allclose(l0, l1, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_remat_ignored_under_component_index():
+    """Mixture paths (rank-1/MultiX) thread a component index; remat is
+    documented to fall back to 'none' there rather than lift the capture."""
+    x = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))
+    m = DenseNetClassifier(
+        classes=3,
+        growth_rate=4,
+        block_config=(2,),
+        init_features=8,
+        bn_size=2,
+        conv_kind="rank1",
+        head_kind="rank1",
+        components=2,
+        remat="block",
+    )
+    rngs = {"params": jax.random.key(1), "noise": jax.random.key(2)}
+    v = m.init(rngs, x, train=True)
+    out = m.apply(v, x, train=True, component=1, rngs={"noise": jax.random.key(3)})
+    assert out.shape == (2, 3)
