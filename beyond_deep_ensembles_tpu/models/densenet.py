@@ -30,7 +30,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..nn.dropout import FixableDropout
-from ..nn.norm import StaticBatchNorm
+from ..nn.norm import StaticBatchNorm, channel_stats
 from .layers import call_layer, make_conv, make_dense
 
 
@@ -38,11 +38,13 @@ class _BN(nn.Module):
     track_running_stats: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, stats=None):
         if self.track_running_stats:
+            # running-stats mode keeps its EMA bookkeeping; the stats
+            # cache only applies to the static path
             return nn.BatchNorm(use_running_average=not train)(x)
         # static BN: batch statistics always (reference util.py:204-218)
-        return StaticBatchNorm()(x, train=train)
+        return StaticBatchNorm()(x, train=train, stats=stats)
 
 
 class DenseLayer(nn.Module):
@@ -56,7 +58,7 @@ class DenseLayer(nn.Module):
     dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 on TPU)
 
     @nn.compact
-    def __call__(self, x, train: bool = True, component=None):
+    def __call__(self, x, train: bool = True, component=None, bn_stats=None):
         kw = {"dtype": self.dtype} if self.conv_kind in ("plain", "bbb") else {}
 
         def drop(h):
@@ -66,7 +68,8 @@ class DenseLayer(nn.Module):
                 )(h, train=train)
             return h
 
-        h = _BN(self.track_running_stats)(x, train=train)
+        # bn_stats: cached per-channel stats of x (DenseNet incremental_bn)
+        h = _BN(self.track_running_stats)(x, train=train, stats=bn_stats)
         h = nn.relu(h)
         h = call_layer(
             make_conv(
@@ -125,6 +128,16 @@ class DenseNet(nn.Module):
     # index is threaded (rank-1/MultiX), where the capture would have to
     # be lifted explicitly; those paths never enable it.
     remat: str = "none"
+    # Reuse per-channel batch statistics across the dense block: layer
+    # j+1's input is concat(input_j, new_j), whose per-channel stats over
+    # (B, H, W) are BY CONSTRUCTION the stats already computed for
+    # input_j plus the stats of new_j — so each layer's input BN (and
+    # each transition/final BN) only reduces over the 32 NEW channels
+    # instead of the whole growing tensor. Exact: same values, same
+    # gradient (the cached stats are the same function of the same
+    # producers); pinned by tests/test_remat_backbones.py
+    # test_densenet_incremental_bn_exact. Static-BN mode only.
+    incremental_bn: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
@@ -163,18 +176,23 @@ class DenseNet(nn.Module):
         )
         layer_cls = DenseLayer
         if remat == "layer":
-            # prevent_cse=False: the step sits inside the epoch runner's
-            # lax.scan, where CSE across the checkpoint boundary is
-            # already impossible and the guard only costs compile time.
-            layer_cls = nn.remat(DenseLayer, static_argnums=(2,), prevent_cse=False)
+            # prevent_cse stays ON (default): the layers are a Python
+            # loop, not a lax.scan over layers, so without the barrier
+            # XLA CSE merges the recompute back into the saved forward
+            # and silently undoes the remat (measured: identical HLO
+            # flops with prevent_cse=False).
+            layer_cls = nn.remat(DenseLayer, static_argnums=(2,))
         # explicit names pinned to the no-remat auto-naming (nn.remat
         # renames the class to CheckpointDenseLayer, which would shift
         # every parameter path and break checkpoint converters)
         layer_counter = iter(range(sum(self.block_config)))
 
+        use_inc = self.incremental_bn and not self.track_running_stats
+        stats = None
+
         for i, n_layers in enumerate(self.block_config):
 
-            def block_fn(mdl, h, n_layers=n_layers):
+            def block_fn(mdl, h, stats, n_layers=n_layers):
                 del mdl  # children attach to self (we run in self's scope)
                 for _ in range(n_layers):
                     new = layer_cls(
@@ -187,17 +205,25 @@ class DenseNet(nn.Module):
                         dropout_freeze_eval=self.dropout_freeze_eval,
                         dtype=self.dtype,
                         name=f"DenseLayer_{next(layer_counter)}",
-                    )(h, train, component)
+                    )(h, train, component, stats)
+                    if stats is not None:
+                        # only the 32 new channels need a reduction pass
+                        nm, nv = channel_stats(new)
+                        stats = (
+                            jnp.concatenate([stats[0], nm]),
+                            jnp.concatenate([stats[1], nv]),
+                        )
                     h = jnp.concatenate([h, new], axis=-1)
-                return h
+                return h, stats
 
+            stats0 = channel_stats(h) if use_inc else None
             if remat == "block":
-                h = nn.remat(block_fn, prevent_cse=False)(self, h)
+                h, stats = nn.remat(block_fn)(self, h, stats0)
             else:
-                h = block_fn(self, h)
+                h, stats = block_fn(self, h, stats0)
             if i != len(self.block_config) - 1:
                 # Transition (reference densenet.py:156-164)
-                t = _BN(self.track_running_stats)(h, train=train)
+                t = _BN(self.track_running_stats)(h, train=train, stats=stats)
                 t = nn.relu(t)
                 t = call_layer(
                     make_conv(
@@ -214,7 +240,7 @@ class DenseNet(nn.Module):
                 )
                 h = nn.avg_pool(t, (2, 2), strides=(2, 2))
 
-        h = _BN(self.track_running_stats)(h, train=train)
+        h = _BN(self.track_running_stats)(h, train=train, stats=stats)
         h = nn.relu(h)
         return jnp.mean(h, axis=(1, 2))
 
@@ -235,6 +261,7 @@ class DenseNetClassifier(nn.Module):
     dropout_freeze_eval: bool = True
     dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 on TPU)
     remat: str = "none"  # see DenseNet.remat
+    incremental_bn: bool = True  # see DenseNet.incremental_bn
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
@@ -250,6 +277,7 @@ class DenseNetClassifier(nn.Module):
             dropout_freeze_eval=self.dropout_freeze_eval,
             dtype=self.dtype,
             remat=self.remat,
+            incremental_bn=self.incremental_bn,
         )(x, train=train, component=component)
         # head matmul is a rounding error of the flops: keep it fp32
         h = h.astype(jnp.float32)

@@ -513,9 +513,9 @@ class ResNet50(nn.Module):
         )
         block_cls = Bottleneck
         if remat == "block":
-            # prevent_cse=False: steps run inside the epoch runner's
-            # lax.scan where cross-boundary CSE can't happen anyway.
-            block_cls = nn.remat(Bottleneck, static_argnums=(2,), prevent_cse=False)
+            # prevent_cse stays ON (default) — see models/densenet.py:
+            # without the barrier XLA CSE undoes the remat entirely.
+            block_cls = nn.remat(Bottleneck, static_argnums=(2,))
         # explicit names pinned to the no-remat auto-naming (nn.remat
         # renames the class to CheckpointBottleneck, which would shift
         # parameter paths and break the torchvision transplant map)
@@ -544,7 +544,7 @@ class ResNet50(nn.Module):
                 return h
 
             if remat == "stage":
-                h = nn.remat(stage_fn, prevent_cse=False)(self, h)
+                h = nn.remat(stage_fn)(self, h)
             else:
                 h = stage_fn(self, h)
 

@@ -16,21 +16,35 @@ import jax
 import jax.numpy as jnp
 
 
+def channel_stats(x):
+    """Per-channel batch statistics (mean, var) over all axes but the
+    last, accumulated in fp32 (bf16 E[x^2]-E[x]^2 catastrophically
+    cancels). The building block StaticBatchNorm uses, exposed so
+    callers can REUSE stats: in DenseNet the per-channel stats of an
+    already-concatenated slice are identical to the stats computed when
+    that slice was produced, so each dense layer only needs stats for
+    its 32 new channels (models/densenet.py incremental_bn)."""
+    axes = tuple(range(x.ndim - 1))
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes)
+    var = jnp.mean(jnp.square(xf), axis=axes) - mean**2
+    return mean, var
+
+
 class StaticBatchNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, stats=None):
+        """stats: optional precomputed (mean, var) per channel — MUST be
+        the statistics of x itself (callers reuse cached stats of
+        identical values to skip the reduction pass; the math and the
+        gradient are unchanged because the cached stats are the same
+        function of the same producing tensors)."""
         del train
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        axes = tuple(range(x.ndim - 1))
-        # Statistics in fp32 even under bf16 compute: E[x^2]-E[x]^2 in
-        # bf16 catastrophically cancels. Output returns to x.dtype so the
-        # surrounding convs stay on the bf16 MXU path.
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=axes)
-        var = jnp.mean(jnp.square(xf), axis=axes) - mean**2
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        mean, var = channel_stats(x) if stats is None else stats
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         return (y * scale + bias).astype(x.dtype)

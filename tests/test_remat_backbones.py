@@ -70,6 +70,40 @@ def test_resnet50_remat_is_pure_perf_transform(remat):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 
+def test_densenet_incremental_bn_exact():
+    """incremental_bn reuses per-channel batch stats across the dense
+    block (models/densenet.py) — it must be EXACT: same params, same
+    forward, same gradients as recomputing full-tensor stats each layer,
+    in train and eval, with and without dropout."""
+    x = jax.random.normal(jax.random.key(0), (4, 32, 32, 3))
+    for drop_p in (None, 0.2):
+        base = DenseNetClassifier(
+            classes=4, growth_rate=4, block_config=(2, 2), init_features=8,
+            bn_size=2, dropout_p=drop_p, incremental_bn=False,
+        )
+        inc = base.clone(incremental_bn=True)
+        rngs = {"params": jax.random.key(1), "dropout": jax.random.key(2)}
+        v = base.init(rngs, x, train=True)
+        assert _paths(v) == _paths(inc.init(rngs, x, train=True))
+
+        for train in (True, False):
+            kw = dict(train=train, rngs={"dropout": jax.random.key(3)})
+            np.testing.assert_allclose(
+                np.asarray(base.apply(v, x, **kw)),
+                np.asarray(inc.apply(v, x, **kw)),
+                rtol=1e-5, atol=1e-5,
+            )
+
+        def loss(m, v):
+            out = m.apply(v, x, train=True, rngs={"dropout": jax.random.key(3)})
+            return jnp.sum(out**2)
+
+        g0 = jax.jit(jax.grad(lambda v: loss(base, v)))(v)
+        g1 = jax.jit(jax.grad(lambda v: loss(inc, v)))(v)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_remat_ignored_under_component_index():
     """Mixture paths (rank-1/MultiX) thread a component index; remat is
     documented to fall back to 'none' there rather than lift the capture."""
