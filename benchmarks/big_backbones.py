@@ -93,6 +93,17 @@ WORKLOADS = {
     #     stats across the dense block — exact, models/densenet.py);
     #     this row measures what the reuse saves
     "densenet121_map_noincbn": ("fmow", "map", 64, 8, (76_863, 50)),
+    # (f) norm removed entirely — a MEASURED isolation of the
+    #     norm/elementwise share of the conv step (the remaining time is
+    #     convs+pools+optimizer at the real shapes); informational, never
+    #     a training configuration
+    "densenet121_map_nonorm": ("fmow", "map", 64, 8, (76_863, 50)),
+    "resnet50_448_map_nonorm": ("iwildcam", "map", 16, 8, (129_809, 12)),
+    # (g) preallocated dense-block feature buffer (static-offset
+    #     dynamic_update_slice + prefix-slice reads) instead of the
+    #     per-layer concat chain — exact; kills the O(L^2) concat copy
+    #     bytes IF XLA applies the updates in place
+    "densenet121_map_buffer": ("fmow", "map", 64, 8, (76_863, 50)),
 }
 
 # Measured fwd/bwd decomposition: time the TRAIN-MODE FORWARD (loss
@@ -133,6 +144,9 @@ _WORKLOAD_OVERRIDES = {
     "resnet50_448_map_remat_block": {"conv_remat": "block"},
     "resnet50_448_map_remat_stage": {"conv_remat": "stage"},
     "densenet121_map_noincbn": {"densenet_incremental_bn": False},
+    "densenet121_map_nonorm": {"no_norm": True},
+    "resnet50_448_map_nonorm": {"no_norm": True},
+    "densenet121_map_buffer": {"densenet_concat_mode": "buffer"},
 }
 
 

@@ -106,17 +106,28 @@ def run_sustained(name, epochs, n_override=None, dtype="bf16", ckpt_root="/tmp/s
     built = init_on_host(build)
 
     stamps = []
+    eval_times = []
 
     def epoch_callback(epoch, b):
         # the real periodic validation: posterior-predictive S=10 over
         # the val split through eval_task's device-resident runner
+        te = time.perf_counter()
         val = wilds_task.eval_task(b, task, config, xv, yv, meta_v)
+        eval_times.append(time.perf_counter() - te)
         stamps.append((time.perf_counter(), float(val.get("accuracy", val.get("mse", 0.0)))))
 
     _stage(f"{name}: training {epochs} epochs (epoch 0 = compile, discarded)")
     t0 = time.perf_counter()
     wilds_task.train(built, config, x, y, epoch_callback=epoch_callback)
     total = time.perf_counter() - t0
+
+    # the phase the async path hides: one SYNCHRONOUS orbax save of the
+    # full state (device->host transfer + write), timed in isolation
+    from beyond_deep_ensembles_tpu.utils import checkpoint as _ckpt
+
+    ts = time.perf_counter()
+    _ckpt.save_checkpoint(config["checkpoint_dir"], 999_999, built.state)
+    sync_save_s = time.perf_counter() - ts
 
     if len(stamps) < 2:
         raise RuntimeError("need >=2 epochs to discard the compile epoch")
@@ -135,7 +146,11 @@ def run_sustained(name, epochs, n_override=None, dtype="bf16", ckpt_root="/tmp/s
         "sustained_epoch_s": round(sustained, 2),
         "first_epoch_s_incl_compile": round(stamps[0][0] - t0, 1),
         "includes": "device_data staging amortized; train scan + eval S=10 "
-        f"over {n_val} val points + checkpoint save, every epoch",
+        f"over {n_val} val points + ASYNC checkpoint save, every epoch",
+        "eval_s_per_epoch": round(float(np.median(eval_times[1:] or eval_times)), 2),
+        # what a blocking save would add per saving epoch (the async
+        # path overlaps this with the next epoch's device scan)
+        "sync_ckpt_save_s": round(sync_save_s, 2),
         "total_wall_s": round(total, 1),
     }
 

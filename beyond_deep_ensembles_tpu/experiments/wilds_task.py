@@ -150,6 +150,12 @@ def _make_backbone(task: str, config: dict, kind: str, dropout_p=None, head_kind
                 # exact cross-layer BN-stat reuse (models/densenet.py);
                 # A/B row densenet121_map_noincbn
                 incremental_bn=config.get("densenet_incremental_bn", True),
+                # benchmark decomposition only: *_nonorm rows measure the
+                # norm/elementwise share of the step (never a default)
+                norm_off=config.get("no_norm", False),
+                # 'concat' | 'buffer' dense-block growth (exact either
+                # way; measured A/B big_backbones densenet121_map_buffer)
+                concat_mode=config.get("densenet_concat_mode", "concat"),
             )
         )
     if task in ("iwildcam", "rxrx1"):
@@ -157,7 +163,11 @@ def _make_backbone(task: str, config: dict, kind: str, dropout_p=None, head_kind
         return Model(
             cls(
                 classes=spec.classes,
-                norm="batch_static" if config.get("static_bn", True) else "frn",
+                norm=(
+                    "none"  # benchmark decomposition only (*_nonorm rows)
+                    if config.get("no_norm")
+                    else "batch_static" if config.get("static_bn", True) else "frn"
+                ),
                 conv_kind=kind,
                 head_kind=head_kind,
                 components=components,
@@ -748,12 +758,25 @@ def train(built: BuiltExperiment, config: dict, x, y, log=None, epoch_callback=N
             if ckpt_dir and (epoch + 1) % config.get("checkpoint_interval", 20) == 0:
                 from ..utils import checkpoint as _ckpt
 
-                _ckpt.save_checkpoint(ckpt_dir, epoch, state)
+                # async on the accelerator path: the orbax write (and the
+                # device->host transfer behind it) overlaps the next
+                # epoch's device-resident scan — measured x29->x1.n epoch
+                # overhead for DistilBERT (benchmarks/sustained_big.py)
+                _ckpt.save_checkpoint(
+                    ckpt_dir, epoch, state,
+                    async_save=config.get(
+                        "async_checkpoint", jax.default_backend() != "cpu"
+                    ),
+                )
             if log:
                 log(f"epoch {epoch}: loss {epoch_loss:.4f}")
             if epoch_callback is not None:
                 epoch_callback(epoch, built)
         built.state = state
+        if ckpt_dir:
+            from ..utils import checkpoint as _ckpt
+
+            _ckpt.wait_for_async_saves()
         return built
 
     scan_steps = config.get("scan_steps", 1)
@@ -807,12 +830,22 @@ def train(built: BuiltExperiment, config: dict, x, y, log=None, epoch_callback=N
             state = method.finalize_epoch(state)
         built.state = state
         if ckpt_dir and (epoch + 1) % config.get("checkpoint_interval", 20) == 0:
-            _ckpt.save_checkpoint(ckpt_dir, epoch, state)
+            # same overlap as the device-resident path: on accelerator
+            # backends the save must not block the epoch loop on the
+            # device->host transfer (sustained_big measured x29)
+            _ckpt.save_checkpoint(
+                ckpt_dir, epoch, state,
+                async_save=config.get(
+                    "async_checkpoint", jax.default_backend() != "cpu"
+                ),
+            )
         if log:
             log(f"epoch {epoch}: loss {epoch_loss:.4f}")
         if epoch_callback is not None:
             epoch_callback(epoch, built)
     built.state = state
+    if ckpt_dir:
+        _ckpt.wait_for_async_saves()
     return built
 
 

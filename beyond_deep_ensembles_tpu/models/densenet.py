@@ -27,6 +27,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..nn.dropout import FixableDropout
@@ -36,9 +37,12 @@ from .layers import call_layer, make_conv, make_dense
 
 class _BN(nn.Module):
     track_running_stats: bool = False
+    off: bool = False  # benchmark decomposition only (*_nonorm rows)
 
     @nn.compact
     def __call__(self, x, train: bool = True, stats=None):
+        if self.off:
+            return x
         if self.track_running_stats:
             # running-stats mode keeps its EMA bookkeeping; the stats
             # cache only applies to the static path
@@ -56,6 +60,7 @@ class DenseLayer(nn.Module):
     track_running_stats: bool = False
     dropout_freeze_eval: bool = True
     dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 on TPU)
+    norm_off: bool = False  # benchmark decomposition only
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None, bn_stats=None):
@@ -69,7 +74,7 @@ class DenseLayer(nn.Module):
             return h
 
         # bn_stats: cached per-channel stats of x (DenseNet incremental_bn)
-        h = _BN(self.track_running_stats)(x, train=train, stats=bn_stats)
+        h = _BN(self.track_running_stats, self.norm_off)(x, train=train, stats=bn_stats)
         h = nn.relu(h)
         h = call_layer(
             make_conv(
@@ -85,7 +90,7 @@ class DenseLayer(nn.Module):
             component,
         )
         h = drop(h)
-        h = _BN(self.track_running_stats)(h, train=train)
+        h = _BN(self.track_running_stats, self.norm_off)(h, train=train)
         h = nn.relu(h)
         h = call_layer(
             make_conv(
@@ -138,6 +143,17 @@ class DenseNet(nn.Module):
     # producers); pinned by tests/test_remat_backbones.py
     # test_densenet_incremental_bn_exact. Static-BN mode only.
     incremental_bn: bool = True
+    norm_off: bool = False  # benchmark decomposition only (*_nonorm rows)
+    # 'concat' | 'buffer' — how the dense block grows its feature tensor.
+    # 'concat' re-concatenates per layer (each concat copies the whole
+    # growing tensor into a fresh buffer — O(L^2) copy bytes per block);
+    # 'buffer' preallocates the block's final-width tensor once and
+    # writes each layer's 32 new channels with a static-offset
+    # dynamic_update_slice (XLA can apply the update in place), layers
+    # reading static prefix slices that fuse into their consumers.
+    # Numerically EXACT either way (same values, same gradient function);
+    # measured A/B: big_backbones densenet121_map_buffer row.
+    concat_mode: str = "concat"
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
@@ -157,7 +173,7 @@ class DenseNet(nn.Module):
             train,
             component,
         )
-        h = _BN(self.track_running_stats)(h, train=train)
+        h = _BN(self.track_running_stats, self.norm_off)(h, train=train)
         h = nn.relu(h)
         if self.dropout_p is not None:
             h = FixableDropout(
@@ -187,14 +203,34 @@ class DenseNet(nn.Module):
         # every parameter path and break checkpoint converters)
         layer_counter = iter(range(sum(self.block_config)))
 
-        use_inc = self.incremental_bn and not self.track_running_stats
+        use_inc = (
+            self.incremental_bn
+            and not self.track_running_stats
+            and not self.norm_off
+        )
         stats = None
 
         for i, n_layers in enumerate(self.block_config):
 
+            use_buffer = self.concat_mode == "buffer"
+
             def block_fn(mdl, h, stats, n_layers=n_layers):
                 del mdl  # children attach to self (we run in self's scope)
+                c = h.shape[-1]
+                if use_buffer:
+                    buf = jnp.zeros(
+                        h.shape[:-1] + (c + n_layers * self.growth_rate,),
+                        h.dtype,
+                    )
+                    buf = jax.lax.dynamic_update_slice(
+                        buf, h, (0,) * h.ndim
+                    )
                 for _ in range(n_layers):
+                    cur = (
+                        jax.lax.slice_in_dim(buf, 0, c, axis=-1)
+                        if use_buffer
+                        else h
+                    )
                     new = layer_cls(
                         self.growth_rate,
                         self.bn_size,
@@ -204,8 +240,9 @@ class DenseNet(nn.Module):
                         self.track_running_stats,
                         dropout_freeze_eval=self.dropout_freeze_eval,
                         dtype=self.dtype,
+                        norm_off=self.norm_off,
                         name=f"DenseLayer_{next(layer_counter)}",
-                    )(h, train, component, stats)
+                    )(cur, train, component, stats)
                     if stats is not None:
                         # only the 32 new channels need a reduction pass
                         nm, nv = channel_stats(new)
@@ -213,8 +250,14 @@ class DenseNet(nn.Module):
                             jnp.concatenate([stats[0], nm]),
                             jnp.concatenate([stats[1], nv]),
                         )
-                    h = jnp.concatenate([h, new], axis=-1)
-                return h, stats
+                    if use_buffer:
+                        buf = jax.lax.dynamic_update_slice(
+                            buf, new, (0,) * (new.ndim - 1) + (c,)
+                        )
+                    else:
+                        h = jnp.concatenate([h, new], axis=-1)
+                    c += self.growth_rate
+                return (buf if use_buffer else h), stats
 
             stats0 = channel_stats(h) if use_inc else None
             if remat == "block":
@@ -223,7 +266,7 @@ class DenseNet(nn.Module):
                 h, stats = block_fn(self, h, stats0)
             if i != len(self.block_config) - 1:
                 # Transition (reference densenet.py:156-164)
-                t = _BN(self.track_running_stats)(h, train=train, stats=stats)
+                t = _BN(self.track_running_stats, self.norm_off)(h, train=train, stats=stats)
                 t = nn.relu(t)
                 t = call_layer(
                     make_conv(
@@ -240,7 +283,7 @@ class DenseNet(nn.Module):
                 )
                 h = nn.avg_pool(t, (2, 2), strides=(2, 2))
 
-        h = _BN(self.track_running_stats)(h, train=train, stats=stats)
+        h = _BN(self.track_running_stats, self.norm_off)(h, train=train, stats=stats)
         h = nn.relu(h)
         return jnp.mean(h, axis=(1, 2))
 
@@ -262,6 +305,8 @@ class DenseNetClassifier(nn.Module):
     dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 on TPU)
     remat: str = "none"  # see DenseNet.remat
     incremental_bn: bool = True  # see DenseNet.incremental_bn
+    norm_off: bool = False  # benchmark decomposition only
+    concat_mode: str = "concat"  # see DenseNet.concat_mode
 
     @nn.compact
     def __call__(self, x, train: bool = True, component=None):
@@ -278,6 +323,8 @@ class DenseNetClassifier(nn.Module):
             dtype=self.dtype,
             remat=self.remat,
             incremental_bn=self.incremental_bn,
+            norm_off=self.norm_off,
+            concat_mode=self.concat_mode,
         )(x, train=train, component=component)
         # head matmul is a rounding error of the flops: keep it fp32
         h = h.astype(jnp.float32)

@@ -47,6 +47,11 @@ class _Norm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if self.kind == "none":
+            # norm removed entirely — a benchmark decomposition variant
+            # (big_backbones *_nonorm rows measure the norm/elementwise
+            # share of the conv-backbone step), never a training default
+            return x
         if self.kind == "batch_static":
             # track_running_stats=False: batch statistics at eval too.
             return StaticBatchNorm()(x, train=train)

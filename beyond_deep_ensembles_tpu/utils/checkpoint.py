@@ -14,8 +14,10 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 from typing import Any, Optional
 
+import jax
 import orbax.checkpoint as ocp
 
 _CKPT_RE = re.compile(r"checkpoint_(\d+)$")
@@ -25,9 +27,73 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_checkpoint(run_dir: str, step: int, state: Any):
-    """Write ``<run_dir>/checkpoint_<step>``."""
+class _AsyncSaver:
+    """Overlap checkpoint saves with subsequent training epochs.
+
+    A synchronous orbax save blocks the epoch loop on the full
+    device->host transfer of the state — measured at ~110 s/epoch for
+    the DistilBERT+Adam state (~800 MB) on the tunneled TPU backend,
+    x29 the pure train-scan epoch (benchmarks/sustained_big.py, r5).
+    The TPU-native fix: initiate a NON-BLOCKING device->host copy of
+    every leaf (``copy_to_host_async`` — jax caches the host copy), then
+    run the orbax write in a daemon thread while the next epoch's
+    device scan computes. Training state pytrees are functional
+    (never mutated in place), so the snapshot is race-free; at most one
+    save is in flight (a new save joins the previous one first), and
+    ``wait_for_async_saves()`` is the end-of-training barrier before
+    save_final/restore read the directory."""
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._err: Optional[BaseException] = None
+
+    def save(self, path: str, state: Any):
+        self.wait()
+        for leaf in jax.tree.leaves(state):
+            copy_async = getattr(leaf, "copy_to_host_async", None)
+            if copy_async is not None:
+                try:
+                    copy_async()
+                except Exception:
+                    pass  # fall through: orbax will do a blocking copy
+
+        def _write():
+            try:
+                _checkpointer().save(path, state, force=True)
+            except BaseException as e:  # surfaced on the next wait()
+                self._err = e
+
+        self._thread = threading.Thread(
+            target=_write, name="bde-ckpt-save", daemon=True
+        )
+        self._thread.start()
+
+    def wait(self):
+        t, self._thread = self._thread, None
+        if t is not None:
+            t.join()
+        err, self._err = self._err, None
+        if err is not None:
+            raise err
+
+
+_ASYNC_SAVER = _AsyncSaver()
+
+
+def wait_for_async_saves():
+    """Barrier: block until any in-flight async checkpoint write has
+    committed (and re-raise its error, if any)."""
+    _ASYNC_SAVER.wait()
+
+
+def save_checkpoint(run_dir: str, step: int, state: Any, async_save: bool = False):
+    """Write ``<run_dir>/checkpoint_<step>``. With ``async_save`` the
+    write overlaps subsequent compute (see _AsyncSaver); callers must
+    ``wait_for_async_saves()`` before reading the run directory."""
     path = os.path.join(os.path.abspath(run_dir), f"checkpoint_{step}")
+    if async_save:
+        _ASYNC_SAVER.save(path, state)
+        return path
     _checkpointer().save(path, state, force=True)
     return path
 
@@ -35,12 +101,14 @@ def save_checkpoint(run_dir: str, step: int, state: Any):
 def save_final(run_dir: str, name: str, state: Any):
     """The ``{model}_final`` artifact downstream phases read
     (reference cifar.py:98)."""
+    _ASYNC_SAVER.wait()
     path = os.path.join(os.path.abspath(run_dir), f"{name}_final")
     _checkpointer().save(path, state, force=True)
     return path
 
 
 def latest_checkpoint_step(run_dir: str) -> Optional[int]:
+    _ASYNC_SAVER.wait()
     if not os.path.isdir(run_dir):
         return None
     steps = []

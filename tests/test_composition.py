@@ -2,6 +2,8 @@
 import os
 import tempfile
 
+import pytest
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -204,3 +206,46 @@ def test_checkpoint_roundtrip():
         # fresh dir: nothing to resume
         _, none_step = ckpt.restore_checkpoint(os.path.join(d, "empty"), state)
         assert none_step is None
+
+def test_async_checkpoint_roundtrip():
+    """async_save=True overlaps the orbax write with subsequent compute
+    (utils/checkpoint._AsyncSaver — measured x29 epoch overhead for a
+    blocking DistilBERT save, benchmarks/sustained_big.py). The restore
+    surface (latest_checkpoint_step / restore_checkpoint / save_final)
+    must barrier on in-flight writes, so an async save immediately
+    followed by a restore is never partial."""
+    model = Model(TwoLayer())
+    x = jnp.zeros((4, 4))
+    params, ms = model.init(jax.random.key(0), x)
+
+    def loss_fn(params, model_state, key, batch):
+        xb, yb = batch
+        out, kl, new_ms = model.apply(params, model_state, key, xb, train=True)
+        return LossOutput(loss=jnp.mean((out - yb) ** 2), kl=kl, model_state=new_ms)
+
+    method = map_method(loss_fn, optax.adam(0.01))
+    state = method.init(jax.random.key(1), params, ms)
+
+    with tempfile.TemporaryDirectory() as d:
+        run = os.path.join(d, "run")
+        ckpt.save_checkpoint(run, 1, state, async_save=True)
+        ckpt.save_checkpoint(
+            run, 3, state.replace(step=jnp.int32(3)), async_save=True
+        )
+        # latest_checkpoint_step barriers on the in-flight write
+        assert ckpt.latest_checkpoint_step(run) == 3
+        restored, step = ckpt.restore_checkpoint(run, state)
+        assert step == 3 and int(restored.step) == 3
+        np.testing.assert_allclose(
+            np.asarray(restored.params["Dense_0"]["kernel"]),
+            np.asarray(state.params["Dense_0"]["kernel"]),
+        )
+        ckpt.wait_for_async_saves()  # idempotent with nothing in flight
+
+        # a failing async write surfaces on the next barrier, not silently
+        class Unserializable:
+            pass
+
+        ckpt.save_checkpoint(run, 7, {"bad": Unserializable()}, async_save=True)
+        with pytest.raises(Exception):
+            ckpt.wait_for_async_saves()

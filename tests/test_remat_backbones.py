@@ -123,3 +123,57 @@ def test_remat_ignored_under_component_index():
     v = m.init(rngs, x, train=True)
     out = m.apply(v, x, train=True, component=1, rngs={"noise": jax.random.key(3)})
     assert out.shape == (2, 3)
+
+
+def test_nonorm_decomposition_variants_build():
+    """The *_nonorm benchmark decomposition knob (no_norm config ->
+    DenseNet norm_off / ResNet norm='none') must build and run a finite
+    forward — it exists so big_backbones can MEASURE the norm/elementwise
+    share of the conv step, never as a training default."""
+    from beyond_deep_ensembles_tpu.models.resnet import ResNet50
+
+    x = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    dn = DenseNetClassifier(
+        classes=4, growth_rate=4, block_config=(2, 2), init_features=8,
+        bn_size=2, norm_off=True,
+    )
+    v = dn.init(jax.random.key(1), x, train=True)
+    out = dn.apply(v, x, train=True)
+    assert out.shape == (2, 4) and bool(jnp.all(jnp.isfinite(out)))
+    # no BN parameters may exist in the no-norm variant
+    assert not any("BatchNorm" in p or "_BN" in p for p in _paths(v))
+
+    rn = ResNet50(classes=4, norm="none", stage_sizes=(1, 1))
+    v = rn.init(jax.random.key(1), x, train=True)
+    out = rn.apply(v, x, train=True)
+    assert out.shape == (2, 4) and bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_densenet_buffer_concat_mode_exact():
+    """concat_mode='buffer' (preallocated block tensor + static-offset
+    dynamic_update_slice) must be EXACT vs the concat chain: same param
+    paths, same forward, same gradients — it only changes how XLA lays
+    out the dense block's growing feature tensor."""
+    x = jax.random.normal(jax.random.key(0), (4, 32, 32, 3))
+    base = DenseNetClassifier(
+        classes=4, growth_rate=4, block_config=(2, 3), init_features=8,
+        bn_size=2, concat_mode="concat",
+    )
+    buf = base.clone(concat_mode="buffer")
+    v = base.init(jax.random.key(1), x, train=True)
+    assert _paths(v) == _paths(buf.init(jax.random.key(1), x, train=True))
+
+    for train in (True, False):
+        np.testing.assert_allclose(
+            np.asarray(base.apply(v, x, train=train)),
+            np.asarray(buf.apply(v, x, train=train)),
+            rtol=1e-6, atol=1e-6,
+        )
+
+    def loss(m, v):
+        return jnp.sum(m.apply(v, x, train=True) ** 2)
+
+    g0 = jax.jit(jax.grad(lambda v: loss(base, v)))(v)
+    g1 = jax.jit(jax.grad(lambda v: loss(buf, v)))(v)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
