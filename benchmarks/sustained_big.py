@@ -4,7 +4,7 @@ The big_backbones suite measures the compiled train step and PROJECTS
 epoch/full-train time as step_ms x steps. This script closes the loop
 (VERDICT r4 weak #3): it runs REAL epochs through the experiment engine —
 staging/input pipeline, the device-resident epoch scan, a posterior-
-predictive eval (S=10) every epoch, and a checkpoint save every epoch —
+predictive eval (S=10) every epoch, and reference-cadence checkpointing —
 and reconciles the sustained wall-clock against the projection from the
 recorded step time. Synthetic data at the REAL shapes (512-token int32
 pairs for DistilBERT, 224px float images for DenseNet), subsampled so a
@@ -37,6 +37,7 @@ import jax
 
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+import jax.numpy as jnp
 import numpy as np
 
 # workload -> (task, model, batch, default subsample n, val n)
@@ -92,9 +93,20 @@ def run_sustained(name, epochs, n_override=None, dtype="bf16", ckpt_root="/tmp/s
         "epochs": epochs,
         "device_data": True,  # the accelerator path: one scan per epoch
         "checkpoint_dir": os.path.join(ckpt_root, name),
-        "checkpoint_interval": 1,  # save EVERY epoch (cost included)
+        # reference-matching save cadence (camelyon.py:134 saves every 20
+        # epochs). Saving EVERY epoch was measured first: the ~800 MB
+        # DistilBERT+Adam state costs ~45 s of serialized tunnel
+        # device->host transfer per save (~18 MB/s effective), which no
+        # async overlap can hide because the tunnel is one channel — the
+        # per-save cost is reported separately below and amortizes /20.
+        "checkpoint_interval": 20,
         "seed": 0,
     }
+    # fresh run dir: auto-resume would otherwise skip the epochs we are
+    # here to measure (it restores the previous bench run's checkpoints)
+    import shutil
+
+    shutil.rmtree(config["checkpoint_dir"], ignore_errors=True)
     os.makedirs(config["checkpoint_dir"], exist_ok=True)
 
     _stage(f"{name}: building state on host (n={n}, {steps_per_epoch} steps/epoch)")
@@ -112,8 +124,14 @@ def run_sustained(name, epochs, n_override=None, dtype="bf16", ckpt_root="/tmp/s
         # the real periodic validation: posterior-predictive S=10 over
         # the val split through eval_task's device-resident runner
         te = time.perf_counter()
-        val = wilds_task.eval_task(b, task, config, xv, yv, meta_v)
-        eval_times.append(time.perf_counter() - te)
+        tm = {}
+        val = wilds_task.eval_task(b, task, config, xv, yv, meta_v, timings=tm)
+        dt = time.perf_counter() - te
+        eval_times.append(dt)
+        _stage(
+            f"  epoch {epoch} eval {dt:.1f}s "
+            f"(dispatch {tm.get('dispatch_s', -1):.1f} fetch {tm.get('fetch_s', -1):.1f})"
+        )
         stamps.append((time.perf_counter(), float(val.get("accuracy", val.get("mse", 0.0)))))
 
     _stage(f"{name}: training {epochs} epochs (epoch 0 = compile, discarded)")
@@ -121,12 +139,18 @@ def run_sustained(name, epochs, n_override=None, dtype="bf16", ckpt_root="/tmp/s
     wilds_task.train(built, config, x, y, epoch_callback=epoch_callback)
     total = time.perf_counter() - t0
 
-    # the phase the async path hides: one SYNCHRONOUS orbax save of the
-    # full state (device->host transfer + write), timed in isolation
+    # the full cost of ONE checkpoint save (device->host transfer +
+    # orbax write), timed synchronously in isolation
     from beyond_deep_ensembles_tpu.utils import checkpoint as _ckpt
 
+    # fresh arrays (tree-map +0) so no cached host copies hide the
+    # device->host transfer — this is the honest full save cost
+    fresh = jax.tree.map(
+        lambda a: a + 0 if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.number) else a,
+        built.state,
+    )
     ts = time.perf_counter()
-    _ckpt.save_checkpoint(config["checkpoint_dir"], 999_999, built.state)
+    _ckpt.save_checkpoint(config["checkpoint_dir"] + "_probe", 0, fresh)
     sync_save_s = time.perf_counter() - ts
 
     if len(stamps) < 2:
@@ -146,11 +170,20 @@ def run_sustained(name, epochs, n_override=None, dtype="bf16", ckpt_root="/tmp/s
         "sustained_epoch_s": round(sustained, 2),
         "first_epoch_s_incl_compile": round(stamps[0][0] - t0, 1),
         "includes": "device_data staging amortized; train scan + eval S=10 "
-        f"over {n_val} val points + ASYNC checkpoint save, every epoch",
+        f"over {n_val} val points; async checkpoint every "
+        f"{config['checkpoint_interval']} epochs (reference cadence) — "
+        "per-save cost reported separately",
         "eval_s_per_epoch": round(float(np.median(eval_times[1:] or eval_times)), 2),
-        # what a blocking save would add per saving epoch (the async
-        # path overlaps this with the next epoch's device scan)
+        # full cost of one save; amortized over the reference's
+        # 20-epoch cadence in the next field. Through this tunnel the
+        # transfer serializes with every later dispatch/fetch (~18 MB/s
+        # effective measured on the 800 MB DistilBERT state), so
+        # per-epoch checkpointing would dominate; on a real PCIe host
+        # the same transfer is sub-second.
         "sync_ckpt_save_s": round(sync_save_s, 2),
+        "ckpt_amortized_s_per_epoch": round(
+            sync_save_s / config["checkpoint_interval"], 2
+        ),
         "total_wall_s": round(total, 1),
     }
 

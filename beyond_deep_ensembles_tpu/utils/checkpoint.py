@@ -49,13 +49,15 @@ class _AsyncSaver:
 
     def save(self, path: str, state: Any):
         self.wait()
-        for leaf in jax.tree.leaves(state):
-            copy_async = getattr(leaf, "copy_to_host_async", None)
-            if copy_async is not None:
-                try:
-                    copy_async()
-                except Exception:
-                    pass  # fall through: orbax will do a blocking copy
+        # NOTE: do NOT copy_to_host_async-prefetch the leaves here. On the
+        # tunneled axon backend the async-transfer path is ~50x slower
+        # than a blocking bulk device_get (measured: ~300 s vs 6.4 s for
+        # the ~800 MB DistilBERT+Adam state), and every subsequent tunnel
+        # operation queues behind it — the per-epoch eval fetch went from
+        # 0.2 s to 220-330 s and grew each epoch while prefetched saves
+        # drained (benchmarks/sustained_big.py instrumented run, r5). The
+        # daemon thread's own blocking device_get inside orbax is fast
+        # and still overlaps the next epoch's compute.
 
         def _write():
             try:

@@ -51,4 +51,13 @@ def init_on_host(build_state):
         return build_state()
     with jax.default_device(cpu):
         state = build_state()
-    return jax.device_put(state, dev)
+
+    # device_put array leaves only: builders may return non-pytree
+    # containers (e.g. experiments.wilds_task.BuiltExperiment), whose
+    # interior arrays then stay uncommitted on the CPU and migrate
+    # lazily at the first jitted call — device_put on the container
+    # itself would raise "cannot interpret as abstract array".
+    def _put(x):
+        return jax.device_put(x, dev) if isinstance(x, jax.Array) else x
+
+    return jax.tree.map(_put, state)
